@@ -1,0 +1,67 @@
+"""Enrichment joins — Sagan's GeoIP/CIDR/intel lookups as broadcast joins.
+
+SURVEY.md §2.3: J1 (role_dim ↔ GeoIP [PUB src/geoip2.c]), J2 (risk_ranges ↔
+blacklist CIDR [PUB src/processors/blacklist.c], a non-equi broadcast range
+join), J4 (tool_dim ↔ Zeek intel [PUB src/processors/zeek-intel.c]).
+
+Join shape at scale: the fact side (alerts) is arbitrarily large; every dim
+is tiny → `F.broadcast` is explicit on every join, so the plan is pure
+map-side BroadcastHashJoin / BroadcastNestedLoopJoin(range) with ZERO
+shuffle. Filtering enrich conditions is normally constant-folded into the
+match stage (engine/match.py); when folding is disabled the conditions are
+applied here as compiled Column predicates per sid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..rules.model import EnrichCond, RuleSet
+
+
+def attach_dims(
+    alerts: DataFrame,
+    role_dim: DataFrame,
+    tool_dim: DataFrame,
+    risk_ranges: DataFrame,
+) -> DataFrame:
+    """Attach enrichment attributes (origin/trust_level, category/
+    blacklisted, risk_tag). Left joins — never filtering — and all
+    broadcast. ``risk_key`` was computed JVM-side in the match stage."""
+    out = alerts.join(F.broadcast(role_dim), on="role", how="left")
+    out = out.join(F.broadcast(tool_dim), on="tool", how="left")
+    rr = risk_ranges.select("lo", "hi", "risk_tag")
+    out = out.join(
+        F.broadcast(rr),
+        on=(F.col("risk_key") >= F.col("lo")) & (F.col("risk_key") <= F.col("hi")),
+        how="left",
+    ).drop("lo", "hi")
+    return out
+
+
+def _cond_expr(ec: EnrichCond) -> Column:
+    col = F.col(ec.fieldname)
+    if ec.op == "is":
+        return col.isin(list(ec.values))
+    if ec.op == "isnot":
+        return ~col.isin(list(ec.values)) & col.isNotNull()
+    if ec.op == "range_tag_is":
+        return F.col("risk_tag").isin(list(ec.values))
+    if ec.op == "in_any_range":
+        return F.col("risk_tag").isNotNull()
+    raise ValueError(f"unknown enrich op {ec.op}")
+
+
+def apply_enrich_filters(alerts: DataFrame, ruleset: RuleSet) -> DataFrame:
+    """Per-sid enrich-condition filter (only needed when the match stage ran
+    with fold_dims=False). One `when` chain, whole-stage-codegen friendly."""
+    expr = F.lit(True)
+    for rule in ruleset.rules:
+        if not rule.enrich:
+            continue
+        cond = F.lit(True)
+        for ec in rule.enrich:
+            cond = cond & _cond_expr(ec)
+        expr = F.when(F.col("sid") == rule.sid, cond).otherwise(expr)
+    return alerts.filter(expr)

@@ -1,0 +1,328 @@
+"""Vectorized match stage — Sagan's per-event rule loop, batch-wise.
+
+The reference evaluates every rule against every event in C worker threads
+([PUB src/processors/engine.c]; SURVEY.md §3.1). Here the whole rule set is
+compiled once on the driver into (a) numpy/pandas vectorized masks and
+(b) a single ``mapInPandas`` stage that emits one output row per
+(turn, matched sid). Regexes compile once per executor process
+(lru_cache in rules/eval.py) — the broadcast-compiled-ruleset requirement
+of BASELINE.json:6.
+
+Scale design:
+- ONE pass over the input (no per-rule scans): at 100 TB the scan is the
+  dominant cost; N rules share it, exactly like the reference's single
+  event loop.
+- Arrow batches stream through Python with bounded memory
+  (spark.sql.execution.arrow.maxRecordsPerBatch).
+- Inside a batch everything is vectorized (pandas str ops / numpy masks);
+  the only Python-level loop is the content-chain exact check
+  (distance/within threading, SURVEY §2.2 P6) over rows already narrowed
+  by vectorized literal-containment masks.
+- Compile-time constant folding: enrichment conditions over the tiny
+  static role/tool dims fold into vectorized role/tool membership masks
+  (the dims are total functions of an input column), and range conditions
+  fold into interval checks on a JVM-computed ``risk_key`` column. The
+  broadcast joins in engine/enrich.py then only ATTACH attributes — they
+  filter nothing — so the match stage's output is already minimal.
+  This is the Snort "fast pattern" idea applied at plan level (SURVEY §4.1).
+"""
+
+from __future__ import annotations
+
+import warnings
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from ..rules.eval import compile_re, match_contents, meta_regex
+from ..rules.model import Rule, RuleSet
+
+MATCH_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("risk_key", LongType()),
+        StructField("sid", LongType()),
+        StructField("extracted", MapType(StringType(), StringType())),
+    ]
+)
+
+RISK_MOD = 1000  # pmod(crc32(conv_id), RISK_MOD) — CIDR-bucket stand-in key
+
+
+def risk_key_col(conv_id: str = "conv_id"):
+    """JVM-side risk bucket key (portable: zlib.crc32 == Spark crc32)."""
+    return F.pmod(F.crc32(F.encode(F.col(conv_id), "utf-8")), F.lit(RISK_MOD)).cast("long")
+
+
+@dataclass
+class _FoldedDims:
+    """Static dim contents used for compile-time folding (pandas frames)."""
+
+    role_dim: pd.DataFrame | None = None
+    tool_dim: pd.DataFrame | None = None
+    risk_ranges: pd.DataFrame | None = None
+
+
+def _fold_enrich(rule: Rule, dims: _FoldedDims):
+    """Fold dim-table enrich conditions into (role_set, tool_set, intervals).
+
+    Returns (roles_allowed | None, tools_allowed | None,
+    list[(lo, hi)] | None). None = unconstrained. Folding is exact because
+    role_dim/tool_dim key on an input column and are total over its domain.
+    """
+    roles_ok: set[str] | None = None
+    tools_ok: set[str] | None = None
+    intervals: list[tuple[int, int]] | None = None
+    for ec in rule.enrich:
+        if ec.dim == "role_dim" and dims.role_dim is not None:
+            d = dims.role_dim
+            if ec.op == "is":
+                ok = set(d.loc[d[ec.fieldname].isin(ec.values), "role"])
+            elif ec.op == "isnot":
+                ok = set(d.loc[~d[ec.fieldname].isin(ec.values), "role"])
+            else:
+                raise ValueError(f"unsupported role_dim op {ec.op}")
+            roles_ok = ok if roles_ok is None else roles_ok & ok
+        elif ec.dim == "tool_dim" and dims.tool_dim is not None:
+            d = dims.tool_dim
+            if ec.op == "is":
+                ok = set(d.loc[d[ec.fieldname].isin(ec.values), "tool"])
+            elif ec.op == "isnot":
+                ok = set(d.loc[~d[ec.fieldname].isin(ec.values), "tool"])
+            else:
+                raise ValueError(f"unsupported tool_dim op {ec.op}")
+            tools_ok = ok if tools_ok is None else tools_ok & ok
+        elif ec.dim == "risk_ranges" and dims.risk_ranges is not None:
+            d = dims.risk_ranges
+            if ec.op == "range_tag_is":
+                sel = d.loc[d["risk_tag"].isin(ec.values)]
+            elif ec.op == "in_any_range":
+                sel = d
+            else:
+                raise ValueError(f"unsupported risk_ranges op {ec.op}")
+            ivs = list(zip(sel["lo"].astype(int), sel["hi"].astype(int)))
+            intervals = ivs if intervals is None else [iv for iv in intervals if iv in ivs]
+    return roles_ok, tools_ok, intervals
+
+
+def _rule_mask(rule: Rule, pdf: pd.DataFrame, folded) -> np.ndarray:
+    """Vectorized candidate mask for one rule over one Arrow batch."""
+    n = len(pdf)
+    mask = np.ones(n, dtype=bool)
+    role = pdf["role"]
+    tool = pdf["tool"]
+    text = pdf["text"]
+
+    if rule.roles is not None:
+        m = role.isin(rule.roles).to_numpy()
+        mask &= ~m if rule.roles_negated else m
+    if rule.tools is not None:
+        m = tool.isin(rule.tools).to_numpy()
+        mask &= ~m if rule.tools_negated else m
+
+    roles_ok, tools_ok, intervals = folded
+    if roles_ok is not None:
+        mask &= role.isin(list(roles_ok)).to_numpy()
+    if tools_ok is not None:
+        mask &= tool.isin(list(tools_ok)).to_numpy()
+    if intervals is not None:
+        rk = pdf["risk_key"].to_numpy()
+        im = np.zeros(n, dtype=bool)
+        for lo, hi in intervals:
+            im |= (rk >= lo) & (rk <= hi)
+        mask &= im
+
+    at = rule.alert_time
+    if at is not None:
+        hour = pdf["hour"].to_numpy()
+        mask &= (hour >= at.hour_lo) & (hour <= at.hour_hi)
+        if at.days is not None:
+            mask &= np.isin(pdf["dow"].to_numpy(), at.days)
+    if not mask.any():
+        return mask
+
+    # content predicates (P3-P7): vectorize absolute ones exactly
+    has_chain = False
+    for c in rule.contents:
+        if c.relative:
+            has_chain = True
+            # narrow by plain containment; exact chain check later
+            hay = text.str.casefold() if c.nocase else text
+            needle = c.pattern.casefold() if c.nocase else c.pattern
+            if not c.negated:
+                mask &= hay.str.contains(needle, regex=False).to_numpy()
+            continue
+        hay = text
+        if c.offset is not None or c.depth is not None:
+            lo = c.offset or 0
+            hay = hay.str.slice(lo, lo + c.depth if c.depth is not None else None)
+        if c.nocase:
+            hay = hay.str.casefold()
+        needle = c.pattern.casefold() if c.nocase else c.pattern
+        m = hay.str.contains(needle, regex=False).to_numpy()
+        mask &= ~m if c.negated else m
+        if not mask.any():
+            return mask
+
+    for p in rule.pcres:
+        rx = compile_re(p.pattern, p.flags)
+        m = text.str.contains(rx).to_numpy()
+        mask &= ~m if p.negated else m
+    for mc in rule.meta_contents:
+        rx = meta_regex(mc.template, mc.values, mc.nocase)
+        mask &= text.str.contains(rx).to_numpy()
+    for g in rule.groks:
+        if g.required:
+            mask &= text.str.contains(compile_re(g.pattern, g.flags)).to_numpy()
+    for h in rule.hashes:
+        if h.required:
+            mask &= text.str.contains(compile_re(h.regex)).to_numpy()
+
+    # exact chain semantics on the (few) remaining candidates
+    if has_chain and mask.any():
+        idx = np.flatnonzero(mask)
+        tv = text.to_numpy()
+        for i in idx:
+            if not match_contents(rule, tv[i]):
+                mask[i] = False
+    return mask
+
+
+def _extract(rule: Rule, sub: pd.DataFrame) -> pd.Series:
+    """Vectorized grok/hash extraction for matched rows → Series of dicts."""
+    n = len(sub)
+    if not (rule.groks or rule.hashes or rule.defaults):
+        return pd.Series([{}] * n, index=sub.index)
+    frames: list[pd.DataFrame] = []
+    for g in rule.groks:
+        rx = compile_re(g.pattern, g.flags)
+        ext = sub["text"].str.extract(rx)  # named groups → columns
+        frames.append(ext)
+    for h in rule.hashes:
+        rx = compile_re("(" + h.regex + ")")
+        ext = sub["text"].str.extract(rx)
+        ext.columns = [h.kind]
+        frames.append(ext)
+    merged = pd.concat(frames, axis=1) if frames else pd.DataFrame(index=sub.index)
+    for fname, default in rule.defaults:
+        if fname in merged.columns:
+            merged[fname] = merged[fname].fillna(default)
+        else:
+            merged[fname] = default
+    dicts = [
+        {k: v for k, v in row.items() if isinstance(v, str)}
+        for row in merged.to_dict("records")
+    ]
+    return pd.Series(dicts, index=sub.index)
+
+
+def _field_cond_mask(rule: Rule, extracted: pd.Series) -> np.ndarray:
+    if not rule.field_conds:
+        return np.ones(len(extracted), dtype=bool)
+    mask = np.ones(len(extracted), dtype=bool)
+    for fc in rule.field_conds:
+        vals = extracted.map(lambda d: d.get(fc.name))
+        if fc.op in (">=", ">", "<=", "<", "=="):
+            num = pd.to_numeric(vals, errors="coerce")
+            ref = float(fc.value)  # type: ignore[arg-type]
+            ops = {
+                ">=": num >= ref,
+                ">": num > ref,
+                "<=": num <= ref,
+                "<": num < ref,
+                "==": num == ref,
+            }
+            mask &= ops[fc.op].fillna(False).to_numpy()
+        elif fc.op == "in":
+            mask &= vals.isin(list(fc.value)).fillna(False).to_numpy()  # type: ignore[arg-type]
+        elif fc.op == "not_in":
+            mask &= (~vals.isin(list(fc.value))).fillna(False).to_numpy()  # type: ignore[arg-type]
+    return mask
+
+
+def make_matcher(
+    ruleset: RuleSet,
+    dims: _FoldedDims | None = None,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Compile the rule set into a mapInPandas function.
+
+    The returned closure (and the RuleSet inside it) is serialized once per
+    task; regexes compile lazily per executor process.
+    """
+    dims = dims or _FoldedDims()
+    folded = {r.sid: _fold_enrich(r, dims) for r in ruleset.rules}
+    rules = ruleset.rules
+    out_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "risk_key"]
+
+    def matcher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # containment prefilters intentionally reuse grouped regexes
+        warnings.filterwarnings("ignore", message=".*has match groups.*")
+        for pdf in batches:
+            outs: list[pd.DataFrame] = []
+            for rule in rules:
+                mask = _rule_mask(rule, pdf, folded[rule.sid])
+                if not mask.any():
+                    continue
+                sub = pdf.loc[mask]
+                extracted = _extract(rule, sub)
+                fmask = _field_cond_mask(rule, extracted)
+                if not fmask.any():
+                    continue
+                sub = sub.loc[fmask]
+                out = sub[out_cols].copy()
+                out["sid"] = np.int64(rule.sid)
+                out["extracted"] = extracted.loc[fmask]
+                outs.append(out)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+            else:
+                yield pd.DataFrame(
+                    {f.name: pd.Series(dtype="object") for f in MATCH_SCHEMA.fields}
+                )
+
+    return matcher
+
+
+def run_match(df: DataFrame, ruleset: RuleSet, fold_dims: bool = True) -> DataFrame:
+    """parse+match stage: input transcript DF → one row per (turn, sid).
+
+    Adds JVM-side helper columns (hour/dow for alert_time, risk_key for
+    folded range conditions) before the Arrow crossing, so the Python side
+    never parses timestamps or hashes strings per row.
+    """
+    if fold_dims:
+        from ..datagen.dims import RISK_RANGES, ROLE_DIM, TOOL_DIM
+
+        dims = _FoldedDims(ROLE_DIM, TOOL_DIM, RISK_RANGES)
+    else:
+        dims = _FoldedDims()
+    prepared = df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+        risk_key_col().alias("risk_key"),
+        F.hour("ts").cast("int").alias("hour"),
+        (F.weekday("ts") + F.lit(1)).cast("int").alias("dow"),  # ISO 1=Mon
+    )
+    return prepared.mapInPandas(make_matcher(ruleset, dims), schema=MATCH_SCHEMA)

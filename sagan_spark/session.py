@@ -1,0 +1,56 @@
+"""SparkSession construction with the engine's recommended conf.
+
+Scale notes (10^12-turn design target):
+- AQE on (runtime re-plan, skew-join splitting for hot conv_ids).
+- Arrow enabled with a bounded batch size so the vectorized match UDF
+  (engine/match.py) streams bounded record batches through Python workers.
+- shuffle.partitions is a local-mode default; on a real cluster this is
+  set via spark-submit conf proportional to executor count
+  (AQE coalescing shrinks it back when partitions are small).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.session.timeZone": "UTC",
+    # parquet scans: keep split sizes sane for local runs; on a cluster the
+    # default 128m is right for 100TB scans.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+}
+
+
+def get_spark(
+    app_name: str = "sagan_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so the bench harness can run the identical job at two parallelism
+    levels (local[8] vs local[32]) for the scaling-efficiency evidence.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    else:
+        conf.setdefault("spark.sql.shuffle.partitions", "32")
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
