@@ -1,38 +1,729 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full Sagan-style parse→enrich→correlate→
+route pipeline run over a transcript view synthesized from the sf0.001
+``events`` table (the S2 JSON-lines input-mapping operator feeding E1).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data ops (dedup / similarity / text
+analysis / multimodal). Every aggregate/computed column is aliased
+identically in the Spark code and the SQL so the driver's sorted-column
+value-hash comparison lines up.
+
+Cross-engine notes (Spark vs DuckDB): float aggregates are rounded
+(summation order differs in the last ulp); DuckDB integer sums are cast
+to BIGINT (it widens to HUGEINT); time buckets are emitted as formatted
+strings; regexes stick to the common Java/RE2 subset.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sagan_spark.ops import dedup as D
+from sagan_spark.ops import multimodal as MM
+from sagan_spark.ops import similarity as SIM
+from sagan_spark.ops import text as T
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3: JSON-lines input + field mapping ([PUB src/input-json.c]) —
+    map the events table onto the transcript input contract."""
+    ev = _t(spark, sf_dir, "events")
+    role = (
+        F.when(F.col("event_type") == "view", "user")
+        .when(F.col("event_type") == "click", "tool")
+        .when(F.col("event_type") == "purchase", "system")
+        .when(F.col("event_type") == "signup", "assistant")
+        .otherwise("assistant")
+    )
+    tool = (
+        F.when(F.col("event_type") == "click", "browser")
+        .when(F.col("event_type") == "error", "bash")
+        .otherwise("none")
+    )
+    k = F.get_json_object("props", "$.k").cast("int")
+    text = F.concat(
+        F.lit("event "),
+        F.col("event_type"),
+        F.lit(" code="),
+        (k * 6).cast("string"),
+        F.when(F.col("event_type") == "error", F.lit(" an error occurred: tool timeout")).otherwise(
+            F.lit("")
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.concat(F.lit("conv"), F.lpad(F.col("user_id").cast("string"), 8, "0")).alias(
+                "conv_id"
+            ),
+            (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+            role.alias("role"),
+            text.alias("text"),
+            tool.alias("tool"),
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from sagan_spark.engine.pipeline import build_alerts
+
+    tx = events_as_transcripts(spark, "/root/testdata/sf0.001")
+    alerts = build_alerts(spark, tx)
+    return alerts.select(
+        "conv_id", "turn_idx", "role", "tool", "ts", "sid", "msg", "rule_class", "sink", "text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries(): (spark, sf_dir) -> DataFrame, one per SURVEY §2 operator row
+# ---------------------------------------------------------------------------
+
+
+def q_content_filter(spark, sf):  # P3 content
+    d = _t(spark, sf, "documents")
+    return (
+        d.where(F.col("text").contains("slow"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_content_nocase(spark, sf):  # P4 nocase
+    d = _t(spark, sf, "documents")
+    return (
+        d.where(F.lower(F.col("text")).contains("fast"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_content_offset_depth(spark, sf):  # P5 offset/depth region
+    d = _t(spark, sf, "documents")
+    return (
+        d.where(F.substring("text", 1, 50).contains("data"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_content_negated(spark, sf):  # P7 !content
+    d = _t(spark, sf, "documents")
+    return (
+        d.where(~F.col("text").contains("join"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_pcre_match(spark, sf):  # P8 pcre
+    d = _t(spark, sf, "documents")
+    return (
+        d.where(F.col("text").rlike("(join|window) .*agg"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_meta_content(spark, sf):  # P9 meta_content alternation
+    d = _t(spark, sf, "documents")
+    return (
+        d.where(F.col("text").rlike("(scan|filter|shuffle)"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_grok_extract(spark, sf):  # P13 named-group extraction
+    e = _t(spark, sf, "events")
+    return (
+        e.select(F.regexp_extract("props", '"k": ([0-9]+)', 1).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_parse_tokens_numeric(spark, sf):  # P10-P12 positional extraction family
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.sum(F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0))).cast("long").alias(
+            "numeric_tokens"
+        ),
+        F.count("*").alias("docs"),
+    )
+
+
+def q_alert_time(spark, sf):  # P15 aetas hour gate
+    e = _t(spark, sf, "events")
+    return (
+        e.where(F.hour("ts").between(8, 18))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_geoip_join(spark, sf):  # J1 broadcast dim join chain
+    c, n, r = (_t(spark, sf, x) for x in ("customer", "nation", "region"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+    )
+
+
+def q_cidr_range_join(spark, sf):  # J2 non-equi broadcast range join
+    li = _t(spark, sf, "lineitem")
+    rng = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 60.0, "high")],
+        "lo double, hi double, tag string",
+    )
+    return (
+        li.join(F.broadcast(rng), (li.l_quantity >= rng.lo) & (li.l_quantity < rng.hi))
+        .groupBy("tag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_intel_semi_join(spark, sf):  # J4 left-semi indicator match
+    o = _t(spark, sf, "orders")
+    rich = _t(spark, sf, "customer").where(F.col("c_acctbal") > 9000).select("c_custkey")
+    return (
+        o.join(rich, o.o_custkey == rich.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_anti_join(spark, sf):  # isnotset analogue: left-anti
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_asof_flexbit(spark, sf):  # J5/C3 as-of lookup via window
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_signup = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("prev_signup", last_signup)
+        .where((F.col("event_type") == "purchase") & F.col("prev_signup").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_after_sliding(spark, sf):  # C1 sliding-window variant (SQL-checkable)
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-600, 0)
+    )
+    return (
+        e.withColumn("cnt", F.count(F.lit(1)).over(w))
+        .where(F.col("cnt") > 3)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_threshold_limit(spark, sf):  # C2 limit-style: first 2 per (user, day)
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", F.date_format("ts", "yyyy-MM-dd")).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_track_clients(spark, sf):  # C6 gone-silent detection
+    e = _t(spark, sf, "events")
+    horizon = e.select(F.max("ts").alias("m"))
+    return (
+        e.groupBy("user_id")
+        .agg(F.max("ts").alias("last_seen"))
+        .join(F.broadcast(horizon))
+        .where(F.col("last_seen") < F.col("m") - F.expr("INTERVAL 7 DAYS"))
+        .select(F.count("*").alias("silent_users"))
+    )
+
+
+def q_hit_counters(spark, sf):  # A1 per-rule counters
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def q_sink_rollup(spark, sf):  # A2 rollup counts
+    e = _t(spark, sf, "events")
+    return e.rollup("event_type").agg(F.count("*").alias("n"))
+
+
+def q_interval_stats(spark, sf):  # A3 tumbling interval stats
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+def q_distinct_clients(spark, sf):  # A4 distinct tracking (exact for oracle)
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(F.countDistinct("user_id").alias("users"))
+
+
+def q_topk(spark, sf):  # top-k report
+    p = _t(spark, sf, "part")
+    return (
+        p.orderBy(F.desc("p_retailprice"), "p_partkey")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .limit(10)
+    )
+
+
+def q_union_merge(spark, sf):  # per-rule alert stream merge
+    e = _t(spark, sf, "events")
+    a = e.where(F.col("event_type") == "error").select("event_id")
+    b = e.where(F.col("value") > 90).select("event_id")
+    return a.unionByName(b).distinct().select(F.count("*").alias("n"))
+
+
+def q_json_extract(spark, sf):  # S2 JSON field mapping
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(F.avg(k), 4).alias("avg_k"), F.sum(k).cast("long").alias("sum_k"))
+    )
+
+
+def q_tpch_q1(spark, sf):  # pricing summary (agg coverage)
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q5ish(spark, sf):  # multi-join revenue per nation
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    n = _t(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---- training-data ops ----------------------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    d = _t(spark, sf, "documents")
+    return D.exact_dedup(d).select(F.count("*").alias("groups"), F.sum("doc_id").cast("long").alias("survivor_id_sum"))
+
+
+def q_doc_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(T.fingerprint(F.col("text")).alias("fp"))
+        .select(F.countDistinct("fp").alias("distinct_fp"))
+    )
+
+
+def q_token_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(T.token_count(F.col("text"))).cast("long").alias("tokens"),
+        F.count("*").alias("docs"),
+    )
+
+
+def q_quality_score(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.round(F.avg(T.quality_score(F.col("text"))), 4).alias("avg_quality")
+    )
+
+
+def q_lang_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy(T.lang_guess(F.col("text")).alias("predicted")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_minhash_signature(spark, sf):
+    d = _t(spark, sf, "documents")
+    sig = D.minhash_signature(D.shingles(d), num_hashes=4)
+    return sig.select(
+        F.countDistinct(F.element_at("sig", 1)).alias("distinct_h0"),
+        F.count("*").alias("docs"),
+    )
+
+
+def q_minhash_lsh_dups(spark, sf):
+    d = _t(spark, sf, "documents")
+    sig = D.minhash_signature(D.shingles(d), num_hashes=8)
+    pairs = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    return pairs.select(F.count("*").alias("candidate_pairs"))
+
+
+def q_ngram_jaccard(spark, sf):
+    d = _t(spark, sf, "documents").limit(200)
+    sh = D.shingles(d)
+    sig = D.minhash_signature(sh, num_hashes=8)
+    pairs = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    jac = D.ngram_jaccard(sh, pairs)
+    return jac.select(
+        F.count("*").alias("pairs"),
+        F.round(F.sum("jaccard"), 2).alias("jaccard_sum"),
+    )
+
+
+def q_simhash(spark, sf):
+    d = _t(spark, sf, "documents")
+    return D.simhash64(d).select(
+        F.countDistinct("simhash").alias("distinct_hashes"), F.count("*").alias("docs")
+    )
+
+
+def q_ann_threshold(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    sim = SIM.cosine(F.col("embedding"), SIM._qlit(q))
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .groupBy("label")
+        .agg(F.sum(F.when(sim > 0.2, 1).otherwise(0)).cast("long").alias("close_vecs"))
+    )
+
+
+def q_ann_brute_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.brute_topk(emb.where(F.col("vec_id") != 0), q, k=10)
+
+
+def q_ann_lsh_topk(spark, sf):  # scale path — rows-only check (no SQL oracle)
+    emb = _t(spark, sf, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.lsh_bucketed_topk(emb.where(F.col("vec_id") != 0), q, k=10)
+
+
+def q_ann_ivf_topk(spark, sf):  # rows-only check
+    emb = _t(spark, sf, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.ivf_topk(emb.where(F.col("vec_id") != 0), q, k=10)
+
+
+def q_embedding_norms(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return emb.groupBy("label").agg(
+        F.round(F.avg(SIM.norm(F.col("embedding"))), 4).alias("avg_norm"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_multimodal_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return MM.media_stats(MM.synthesize_media(d))
+
+
+def q_multimodal_features(spark, sf):  # rows-only: mapInPandas feature stage
+    d = _t(spark, sf, "documents")
+    feats = MM.extract_features(MM.synthesize_media(d))
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum("width").cast("long").alias("width_sum"),
+        F.countDistinct("checksum").alias("distinct_checksums"),
+    )
+
+
+def q_pipeline_sink_counts(spark, sf):  # E1 flagship on mapped events (rows-only)
+    from sagan_spark.engine.pipeline import build_alerts
+
+    tx = events_as_transcripts(spark, sf)
+    alerts = build_alerts(spark, tx)
+    return alerts.groupBy("sink").agg(F.count("*").alias("n"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "content_filter": q_content_filter,
+        "content_nocase": q_content_nocase,
+        "content_offset_depth": q_content_offset_depth,
+        "content_negated": q_content_negated,
+        "pcre_match": q_pcre_match,
+        "meta_content": q_meta_content,
+        "grok_extract": q_grok_extract,
+        "parse_tokens_numeric": q_parse_tokens_numeric,
+        "alert_time": q_alert_time,
+        "geoip_join": q_geoip_join,
+        "cidr_range_join": q_cidr_range_join,
+        "intel_semi_join": q_intel_semi_join,
+        "anti_join": q_anti_join,
+        "asof_flexbit": q_asof_flexbit,
+        "after_sliding": q_after_sliding,
+        "threshold_limit": q_threshold_limit,
+        "track_clients": q_track_clients,
+        "hit_counters": q_hit_counters,
+        "sink_rollup": q_sink_rollup,
+        "interval_stats": q_interval_stats,
+        "distinct_clients": q_distinct_clients,
+        "topk": q_topk,
+        "union_merge": q_union_merge,
+        "json_extract": q_json_extract,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q5ish": q_tpch_q5ish,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_dups": q_minhash_lsh_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "ann_threshold": q_ann_threshold,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_norms": q_embedding_norms,
+        "multimodal_stats": q_multimodal_stats,
+        "multimodal_features": q_multimodal_features,
+        "pipeline_sink_counts": q_pipeline_sink_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "content_filter": """
+            SELECT source, COUNT(*) AS n FROM documents
+            WHERE contains(text, 'slow') GROUP BY source""",
+        "content_nocase": """
+            SELECT lang, COUNT(*) AS n FROM documents
+            WHERE contains(lower(text), 'fast') GROUP BY lang""",
+        "content_offset_depth": """
+            SELECT lang, COUNT(*) AS n FROM documents
+            WHERE contains(substring(text, 1, 50), 'data') GROUP BY lang""",
+        "content_negated": """
+            SELECT source, COUNT(*) AS n FROM documents
+            WHERE NOT contains(text, 'join') GROUP BY source""",
+        "pcre_match": """
+            SELECT lang, COUNT(*) AS n FROM documents
+            WHERE regexp_matches(text, '(join|window) .*agg') GROUP BY lang""",
+        "meta_content": """
+            SELECT source, COUNT(*) AS n FROM documents
+            WHERE regexp_matches(text, '(scan|filter|shuffle)') GROUP BY source""",
+        "grok_extract": """
+            SELECT regexp_extract(props, '"k": ([0-9]+)', 1) AS k, COUNT(*) AS n
+            FROM events GROUP BY k""",
+        "parse_tokens_numeric": """
+            SELECT CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+                     AS numeric_tokens,
+                   COUNT(*) AS docs
+            FROM documents""",
+        "alert_time": """
+            SELECT event_type, COUNT(*) AS n FROM events
+            WHERE hour(ts) BETWEEN 8 AND 18 GROUP BY event_type""",
+        "geoip_join": """
+            SELECT r_name, COUNT(*) AS n, ROUND(AVG(c_acctbal), 4) AS avg_bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "cidr_range_join": """
+            SELECT tag, COUNT(*) AS n
+            FROM lineitem JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'),
+                                       (25.0, 60.0, 'high')) AS rng(lo, hi, tag)
+              ON l_quantity >= lo AND l_quantity < hi
+            GROUP BY tag""",
+        "intel_semi_join": """
+            SELECT o_orderstatus, COUNT(*) AS n FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+            GROUP BY o_orderstatus""",
+        "anti_join": """
+            SELECT c_mktsegment, COUNT(*) AS n FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            GROUP BY c_mktsegment""",
+        "asof_flexbit": """
+            SELECT user_id, COUNT(*) AS n FROM (
+              SELECT user_id, event_type,
+                     last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_signup
+              FROM events)
+            WHERE event_type = 'purchase' AND prev_signup IS NOT NULL
+            GROUP BY user_id""",
+        "after_sliding": """
+            SELECT user_id, COUNT(*) AS n FROM (
+              SELECT user_id,
+                     COUNT(*) OVER (PARTITION BY user_id
+                                    ORDER BY date_diff('second', TIMESTAMP '1970-01-01', ts)
+                                    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS cnt
+              FROM events)
+            WHERE cnt > 3 GROUP BY user_id""",
+        "threshold_limit": """
+            SELECT event_type, COUNT(*) AS n FROM (
+              SELECT event_type,
+                     row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                                        ORDER BY ts, event_id) AS rn
+              FROM events)
+            WHERE rn <= 2 GROUP BY event_type""",
+        "track_clients": """
+            SELECT COUNT(*) AS silent_users FROM (
+              SELECT user_id, MAX(ts) AS last_seen FROM events GROUP BY user_id)
+            WHERE last_seen < (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY""",
+        "hit_counters": """
+            SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
+        "sink_rollup": """
+            SELECT event_type, COUNT(*) AS n FROM events GROUP BY ROLLUP(event_type)""",
+        "interval_stats": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS bucket,
+                   COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+            FROM events GROUP BY bucket""",
+        "distinct_clients": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS users
+            FROM events GROUP BY event_type""",
+        "topk": """
+            SELECT p_partkey, p_name, p_retailprice FROM part
+            ORDER BY p_retailprice DESC, p_partkey LIMIT 10""",
+        "union_merge": """
+            SELECT COUNT(*) AS n FROM (
+              SELECT event_id FROM events WHERE event_type = 'error'
+              UNION
+              SELECT event_id FROM events WHERE value > 90)""",
+        "json_extract": """
+            SELECT event_type,
+                   ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
+                   CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type""",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q5ish": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "dedup_exact": """
+            SELECT COUNT(*) AS groups,
+                   CAST(SUM(doc_id) AS BIGINT) AS survivor_id_sum FROM (
+              SELECT md5(text) AS fp, MIN(doc_id) AS doc_id
+              FROM documents GROUP BY md5(text))""",
+        "doc_fingerprint": """
+            SELECT COUNT(DISTINCT substring(md5(lower(trim(text))), 1, 16))
+                     AS distinct_fp
+            FROM documents""",
+        "token_count": """
+            SELECT lang,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+                   COUNT(*) AS docs
+            FROM documents GROUP BY lang""",
+        "quality_score": """
+            SELECT source,
+                   ROUND(AVG(ROUND((length(text) - length(replace(text, ' ', '')))
+                         / greatest(length(text), 1), 4)), 4) AS avg_quality
+            FROM documents GROUP BY source""",
+        "lang_id": """
+            SELECT CASE
+                     WHEN contains(' ' || lower(text) || ' ', ' the ')
+                       OR contains(' ' || lower(text) || ' ', ' and ') THEN 'en'
+                     WHEN contains(' ' || lower(text) || ' ', ' der ')
+                       OR contains(' ' || lower(text) || ' ', ' und ') THEN 'de'
+                     ELSE 'unknown' END AS predicted,
+                   COUNT(*) AS n
+            FROM documents GROUP BY predicted""",
+        "minhash_signature": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, unnest(
+                (list_transform(t, (x, i) -> array_to_string(t[i : i + 2], ' ')))
+                  [1 : greatest(len(t) - 2, 1)]) AS shingle
+              FROM toks)
+            SELECT COUNT(DISTINCT h0) AS distinct_h0, COUNT(*) AS docs FROM (
+              SELECT doc_id, MIN(substring(md5('0:' || shingle), 1, 16)) AS h0
+              FROM sh WHERE length(shingle) > 0 GROUP BY doc_id)""",
+        "ann_threshold": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT label,
+                   CAST(SUM(CASE WHEN list_cosine_similarity(embedding, qv) > 0.2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS close_vecs
+            FROM embeddings, q WHERE vec_id != 0 GROUP BY label""",
+        "ann_brute_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(embedding, qv), 6) AS sim
+            FROM embeddings, q WHERE vec_id != 0
+            ORDER BY sim DESC, vec_id LIMIT 10""",
+        "embedding_norms": """
+            SELECT label,
+                   ROUND(AVG(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm,
+                   COUNT(*) AS n
+            FROM embeddings GROUP BY label""",
+        "multimodal_stats": """
+            SELECT kind, COUNT(*) AS n,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                   ROUND(AVG(octet_length(encode(text))), 4) AS avg_bytes
+            FROM (SELECT text,
+                         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                              ELSE 'video' END AS kind
+                  FROM documents)
+            GROUP BY kind""",
+        # no oracle (rows-only, non-SQL-expressible or engine-specific hashing):
+        # minhash_lsh_dups, ngram_jaccard, simhash (xxhash64), ann_lsh_topk,
+        # ann_ivf_topk, multimodal_features, pipeline_sink_counts
+    }

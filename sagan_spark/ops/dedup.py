@@ -1,0 +1,159 @@
+"""Deduplication operators for training-data pipelines at 100 TB scale.
+
+- exact_dedup: hash-groupBy on a fingerprint — ONE shuffle on the hash,
+  map-side partial aggregation; survivor = min(id).
+- minhash signatures: portable construction so SQL oracles can replicate:
+  shingles = w-word windows; hash h_i(s) = md5(i || ':' || shingle) taken
+  as the first 16 hex chars (64-bit, compared lexicographically — order
+  is identical to numeric on the hex prefix). Signature = per-seed min.
+- LSH candidate pairs: band the signature, shuffle on (band_idx,
+  band_hash), pair within buckets — candidate generation cost is
+  O(sum over buckets |bucket|²) instead of O(n²); at 10^9 docs this is
+  the only feasible shape, and the bucket join is a plain groupBy.
+- simhash64: 64-bit sign-aggregated token hashes via xxhash64; near-dup
+  when hamming distance small (popcount via bit ops).
+- ngram_jaccard: exact Jaccard on token n-gram sets for a candidate pair
+  set (used to verify LSH candidates; explode + groupBy, no UDF).
+
+Spark-first: everything below is Column expressions + explode/groupBy;
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Survivor row ids: min(id) per md5(text). Columns: (fp, doc_id)."""
+    fp = F.md5(F.encode(F.col(text_col), "utf-8")).alias("fp")
+    return df.select(fp, F.col(id_col)).groupBy("fp").agg(F.min(id_col).alias(id_col))
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: int = 3) -> DataFrame:
+    """Distinct w-word shingles per doc: (id, shingle). Pure SQL HOFs:
+    tokens → transform over sliding offsets → filter full windows."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    idxs = F.sequence(F.lit(0), F.greatest(n - F.lit(w), F.lit(0)))
+    sh = F.transform(
+        idxs,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .where(F.length("shingle") > 0)
+    )
+
+
+def minhash_signature(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """(id, sig array<string>): per-seed min of md5-based shingle hashes.
+
+    Portable: md5(seed || ':' || shingle) first 16 hex chars; min() is a
+    plain groupBy aggregate — map-side combine keeps the shuffle tiny.
+    """
+    aggs = [
+        F.min(F.substring(F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("shingle")), "utf-8")), 1, 16)).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing at least one LSH band.
+
+    Shuffle key = (band_idx, band_hash); self-join happens per bucket.
+    """
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws("|", F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs: (a, b, jaccard).
+
+    |A∩B| from a join of shingle sets restricted to candidate pairs;
+    |A∪B| = |A|+|B|−|A∩B|. Set sizes broadcast back via two joins.
+    """
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sha = sh.select(F.col(id_col).alias("a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("b"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        pairs.join(sha, on="a")
+        .join(shb, on="b")
+        .where(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("sz", "sza"), on="a")
+        .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("sz", "szb"), on="b")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc from whitespace tokens: (id, simhash).
+
+    Each bit b of xxhash64(token) votes ±1; simhash bit = majority.
+    Implemented as explode→groupBy with bit-arithmetic aggregates
+    (sum of extracted bits vs token count) — no UDF, two narrow shuffles.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    h = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    bit_sums = h.groupBy(id_col).agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{b}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bit_sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming64(a, b):
+    """Population count of XOR — Spark has bit_count since 3.3."""
+    return F.bit_count(a.bitwiseXOR(b))
