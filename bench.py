@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Bench harness — one JSON line on stdout (driver records BENCH_r{N}.json).
+
+Headline suite:
+- ``pipeline``: the flagship Sagan-style parse→match→enrich→correlate→route
+  run over a deterministic synthetic transcript table (~1.4M turns,
+  generated once and cached under /tmp), including per-sink counts —
+  the BASELINE.json turns/sec metric.
+- representative operator queries from __spark_entry__ over
+  ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR    sf tables dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS      local[] parallelism (default 32)
+  SAGAN_BENCH_CONVS     transcript convs for the pipeline bench (default 15000)
+  SAGAN_BENCH_ONLY      comma-list to restrict (e.g. "pipeline")
+
+Usage: python bench.py            # full suite, prints one JSON line
+       SPARK_GRAFT_CPUS=8 python bench.py   # scaling-run leg
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sagan_spark.session import get_spark  # noqa: E402
+
+
+def _bench_transcripts(n_convs: int, seed: int = 42) -> str:
+    from sagan_spark.datagen.transcripts import write_transcripts
+
+    path = f"/tmp/sagan_bench_tx_{n_convs}_{seed}"
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        write_transcripts(path, n_convs=n_convs, seed=seed, chunk_convs=2000)
+        open(marker, "w").write("ok")
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("SAGAN_BENCH_CONVS", "15000"))
+    only = os.environ.get("SAGAN_BENCH_ONLY")
+    only_set = set(only.split(",")) if only else None
+
+    spark = get_spark(
+        app_name="sagan_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 32),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: JVM + python workers
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    import __spark_entry__ as entry
+    from sagan_spark.engine import pipeline
+
+    tx_path = _bench_transcripts(n_convs)
+    tx_rows = spark.read.parquet(tx_path).count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def run(name: str, fn) -> None:
+        if only_set is not None and name not in only_set:
+            return
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    def _pipeline() -> None:
+        res = pipeline.run(spark, tx_path)
+        extras["pipeline_alerts"] = sum(res.sink_counts.values())
+        res.unpersist()
+
+    run("pipeline", _pipeline)
+    if "pipeline" in timings:
+        extras["pipeline_turns_per_sec"] = round(tx_rows / timings["pipeline"], 1)
+        extras["pipeline_turns"] = tx_rows
+
+    qs = entry.queries()
+    for name in (
+        "tpch_q1",
+        "tpch_q5ish",
+        "after_sliding",
+        "asof_flexbit",
+        "json_extract",
+        "geoip_join",
+        "cidr_range_join",
+        "dedup_exact",
+        "minhash_lsh_dups",
+        "simhash",
+        "ann_brute_topk",
+        "ann_lsh_topk",
+        "quality_score",
+        "multimodal_features",
+        "pipeline_sink_counts",
+    ):
+        if only_set is not None and name not in only_set:
+            continue
+        df = qs[name](spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline suite wall-clock (pipeline turns/sec in extras)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        **extras,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

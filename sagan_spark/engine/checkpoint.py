@@ -1,0 +1,150 @@
+"""Resumable batch runs: bookmark manifest + per-unit lineage & metrics.
+
+Sagan resumes by replaying the FIFO from wherever it left off; our batch
+analogue (SURVEY §4.2 "resume / lineage", BASELINE.json:6 "resumes from
+Iceberg-snapshot checkpoints with per-partition lineage and rule-hit
+metrics") processes the input as *units* — groups of data files — and
+records, per unit: input rows, per-sink alert counts, per-rule hit counts,
+wall time. The manifest is written atomically (tmp + rename) after every
+unit, so a crashed run resumes by skipping completed units.
+
+Unit boundaries and correctness: stateful correlation is per-conv_id, so a
+unit must contain whole conversations. With the Iceberg layout
+``bucket(N, conv_id)`` a unit = one conv bucket and this holds by
+construction at any scale; the parquet emulation relies on the generator's
+conv-per-file locality (datagen writes each conversation entirely inside
+one chunk file). ``check_conv_locality`` verifies it when asked.
+
+On a real Iceberg deployment the bookmark also records the snapshot id the
+run read from, pinning reruns to a consistent table state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..rules.canonical import CANONICAL
+from ..rules.model import RuleSet
+from . import pipeline as pl
+from . import route
+
+MANIFEST = "_manifest.json"
+
+
+def _atomic_write(path: str, obj: dict) -> None:
+    tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _load_manifest(out_dir: str) -> dict:
+    p = os.path.join(out_dir, MANIFEST)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"run_id": uuid.uuid4().hex, "units": {}}
+
+
+def list_units(input_path: str, files_per_unit: int = 1) -> list[list[str]]:
+    files = sorted(
+        os.path.join(input_path, f)
+        for f in os.listdir(input_path)
+        if f.endswith(".parquet")
+    )
+    return [files[i : i + files_per_unit] for i in range(0, len(files), files_per_unit)]
+
+
+def check_conv_locality(spark: SparkSession, input_path: str) -> bool:
+    """True iff no conv_id spans more than one input file (unit safety)."""
+    df = spark.read.parquet(input_path).select(
+        "conv_id", F.input_file_name().alias("f")
+    )
+    n = (
+        df.groupBy("conv_id")
+        .agg(F.countDistinct("f").alias("nf"))
+        .where(F.col("nf") > 1)
+        .count()
+    )
+    return n == 0
+
+
+@dataclass
+class ResumableResult:
+    manifest: dict
+    processed_units: int
+    skipped_units: int
+
+    @property
+    def totals(self) -> dict:
+        sink: dict[str, int] = {}
+        sid: dict[str, int] = {}
+        rows = 0
+        for u in self.manifest["units"].values():
+            if u.get("status") != "done":
+                continue
+            rows += u["rows_in"]
+            for k, v in u["per_sink"].items():
+                sink[k] = sink.get(k, 0) + v
+            for k, v in u["per_sid"].items():
+                sid[k] = sid.get(k, 0) + v
+        return {"rows_in": rows, "per_sink": sink, "per_sid": sid}
+
+
+def run_resumable(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    ruleset: RuleSet = CANONICAL,
+    files_per_unit: int = 1,
+    max_units: int | None = None,
+) -> ResumableResult:
+    """Process input units not yet marked done; write per-sink parquet under
+    ``out_dir/sinks/<sink>/unit=<uid>`` and update the manifest after each
+    unit. ``max_units`` bounds work this call (used to simulate failures
+    in tests and to run in windowed increments operationally)."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = _load_manifest(out_dir)
+    manifest.setdefault("input_path", input_path)
+    units = list_units(input_path, files_per_unit)
+
+    processed = skipped = 0
+    for idx, files in enumerate(units):
+        uid = f"u{idx:05d}"
+        if manifest["units"].get(uid, {}).get("status") == "done":
+            skipped += 1
+            continue
+        if max_units is not None and processed >= max_units:
+            break
+        t0 = time.time()
+        df = spark.read.parquet(*files)
+        rows_in = df.count()
+        alerts = pl.build_alerts(spark, df, ruleset).persist()
+        per_sink = {r["sink"]: r["n"] for r in route.sink_counts(alerts).collect()}
+        per_sid = {str(r["sid"]): r["n"] for r in route.sid_counts(alerts).collect()}
+        for sink in ruleset.sinks():
+            (
+                alerts.where(F.col("sink") == sink)
+                .sortWithinPartitions("conv_id", "turn_idx", "sid")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, "sinks", sink, f"unit={uid}"))
+            )
+        alerts.unpersist()
+        manifest["units"][uid] = {
+            "status": "done",
+            "files": files,
+            "rows_in": rows_in,
+            "per_sink": per_sink,
+            "per_sid": per_sid,
+            "wall_s": round(time.time() - t0, 3),
+        }
+        _atomic_write(os.path.join(out_dir, MANIFEST), manifest)
+        processed += 1
+    return ResumableResult(manifest=manifest, processed_units=processed, skipped_units=skipped)

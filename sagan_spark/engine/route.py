@@ -39,9 +39,36 @@ def rule_dim(spark: SparkSession, ruleset: RuleSet) -> DataFrame:
 
 
 def attach_rule_meta(alerts: DataFrame, ruleset: RuleSet) -> DataFrame:
-    """Broadcast-join rule metadata and drop noalert (state-only) rows."""
-    dim = rule_dim(alerts.sparkSession, ruleset)
-    return alerts.join(F.broadcast(dim), on="sid", how="inner").filter(~F.col("noalert")).drop("noalert")
+    """Attach rule metadata and drop noalert (state-only) rows.
+
+    The rule dim is a compile-time constant, so instead of a broadcast
+    join we fold it into literal-map lookups (`element_at(create_map)`)
+    — O(1) per row inside whole-stage codegen, zero exchange. The
+    join-based variant (`rule_dim` above) remains for external rule
+    catalogs that aren't compile-time constants.
+    """
+    noalert_sids = [r.sid for r in ruleset.rules if r.noalert]
+    out = alerts
+    if noalert_sids:
+        out = out.filter(~F.col("sid").isin(noalert_sids))
+
+    def lit_map(fn) -> F.Column:
+        entries: list[F.Column] = []
+        for r in ruleset.rules:
+            if r.noalert:
+                continue
+            entries += [F.lit(r.sid), F.lit(fn(r))]
+        return F.element_at(F.create_map(*entries), F.col("sid"))
+
+    return out.withColumns(
+        {
+            "rev": lit_map(lambda r: r.rev).cast("int"),
+            "msg": lit_map(lambda r: r.msg),
+            "rule_class": lit_map(lambda r: r.rule_class),
+            "priority": lit_map(lambda r: r.priority).cast("int"),
+            "sink": lit_map(lambda r: r.sink),
+        }
+    )
 
 
 def fast_line() -> F.Column:

@@ -72,6 +72,7 @@ CANONICAL = RuleSet(
             rule_class="http-error",
             groks=(GrokSpec(r"code=(?P<code>\d+)"),),
             field_conds=(FieldCond("code", ">=", 500),),
+            fast_pattern=("code=", False),
         ),
         # P12: md5 literal present (sha1 must NOT fire it)
         Rule(
@@ -122,6 +123,7 @@ CANONICAL = RuleSet(
             sink="eve",
             rule_class="refusal",
             pcres=(PcreSpec(r"refus", "i"),),
+            fast_pattern=("refus", True),
             threshold=ThresholdSpec(type="limit", track="conv_id", count=2, seconds=600),
         ),
         # C3/C5: fires on sudo while auth_fail bit set (set by 1000013)

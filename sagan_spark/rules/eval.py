@@ -39,8 +39,8 @@ def match_contents(rule: Rule, text: str) -> bool:
     """Greedy first-match content-chain evaluation (model.ContentSpec)."""
     prev_end: int | None = None
     for c in rule.contents:
-        hay = text.casefold() if c.nocase else text
-        needle = c.pattern.casefold() if c.nocase else c.pattern
+        hay = text.lower() if c.nocase else text
+        needle = c.pattern.lower() if c.nocase else c.pattern
         if c.relative and prev_end is not None:
             start = prev_end + (c.distance or 0)
             pos = hay.find(needle, start)

@@ -35,7 +35,8 @@ class ContentSpec:
       the end of the previous *positive* content's first accepted match.
     - ``negated``: the literal must NOT occur in its region; negated
       contents never advance ``prev_end``.
-    - ``nocase``: casefold both sides (P4).
+    - ``nocase``: lowercase both sides (P4; ASCII-oriented — identical in
+      Python str.lower, pandas str.lower and Spark lower()).
     """
 
     pattern: str
@@ -190,6 +191,10 @@ class Rule:
     roles_negated: bool = False
     tools: tuple[str, ...] | None = None  # P2 facility prefilter
     tools_negated: bool = False
+    # Snort-style fast_pattern hint: (literal, nocase). Used as a Spark-native
+    # prefilter for rules whose main predicate needs the Python UDF (pcre/
+    # grok); auto-derived from the first positive absolute content otherwise.
+    fast_pattern: tuple[str, bool] | None = None
     contents: tuple[ContentSpec, ...] = ()
     pcres: tuple[PcreSpec, ...] = ()
     meta_contents: tuple[MetaContentSpec, ...] = ()

@@ -20,7 +20,7 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "32768",
     "spark.sql.session.timeZone": "UTC",
     # parquet scans: keep split sizes sane for local runs; on a cluster the
     # default 128m is right for 100TB scans.
