@@ -31,13 +31,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sagan_spark.session import get_spark  # noqa: E402
 
 
-def _bench_transcripts(n_convs: int, seed: int = 42) -> str:
+def _bench_transcripts(n_convs: int, seed: int = 42, plant_scale: float = 1.0) -> str:
     from sagan_spark.datagen.transcripts import write_transcripts
 
-    path = f"/tmp/sagan_bench_tx_{n_convs}_{seed}"
+    # 500 convs/file → ≥120 files: parquet splits at file/row-group
+    # granularity, so file count bounds scan-side parallelism; one fat
+    # row group per file would cap every narrow stage at ~30 tasks.
+    path = f"/tmp/sagan_bench_tx_{n_convs}_{seed}_c500_ps{plant_scale}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
-        write_transcripts(path, n_convs=n_convs, seed=seed, chunk_convs=2000)
+        write_transcripts(path, n_convs=n_convs, seed=seed, chunk_convs=500, plant_scale=plant_scale)
         open(marker, "w").write("ok")
     return path
 
@@ -62,6 +65,9 @@ def main() -> None:
     from sagan_spark.engine import pipeline
 
     tx_path = _bench_transcripts(n_convs)
+    # pre-generate the production-selectivity variant OUTSIDE any timing
+    _wide_ps = float(os.environ.get("SAGAN_BENCH_PLANT_SCALE", "1.0"))
+    wide_path = tx_path if _wide_ps == 1.0 else _bench_transcripts(n_convs, plant_scale=_wide_ps)
     tx_rows = spark.read.parquet(tx_path).count()
 
     timings: dict[str, float] = {}
@@ -82,6 +88,23 @@ def main() -> None:
     run("pipeline", _pipeline)
     if "pipeline" in timings:
         extras["pipeline_turns_per_sec"] = round(tx_rows / timings["pipeline"], 1)
+        extras["pipeline_turns"] = tx_rows
+
+    def _pipeline_wide() -> None:
+        # realistic rule-set width (57 rules, mostly non-firing): the
+        # compute-representative headline — see rules/bulk.py. With
+        # SAGAN_BENCH_PRODUCTION=1 + SAGAN_BENCH_PLANT_SCALE≈0.02 the
+        # alert volume drops to the ≪5%-of-turns production profile.
+        from sagan_spark.rules.bulk import bulk_ruleset
+
+        production = os.environ.get("SAGAN_BENCH_PRODUCTION", "0") == "1"
+        res = pipeline.run(spark, wide_path, ruleset=bulk_ruleset(production=production))
+        extras["pipeline_wide_alerts"] = sum(res.sink_counts.values())
+        res.unpersist()
+
+    run("pipeline_wide", _pipeline_wide)
+    if "pipeline_wide" in timings:
+        extras["pipeline_wide_turns_per_sec"] = round(tx_rows / timings["pipeline_wide"], 1)
         extras["pipeline_turns"] = tx_rows
 
     qs = entry.queries()

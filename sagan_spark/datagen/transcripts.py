@@ -123,7 +123,7 @@ def _plant(rng: np.random.Generator, text: np.ndarray, mask: np.ndarray, frag: s
         text[mask] = text[mask] + ". " + frag
 
 
-def gen_chunk(conv_lo: int, conv_hi: int, seed: int, hot_cap: int) -> pd.DataFrame:
+def gen_chunk(conv_lo: int, conv_hi: int, seed: int, hot_cap: int, plant_scale: float = 1.0) -> pd.DataFrame:
     """Generate conversations [conv_lo, conv_hi) deterministically.
 
     Each conversation's content depends only on (seed, conv index), so any
@@ -147,8 +147,8 @@ def gen_chunk(conv_lo: int, conv_hi: int, seed: int, hot_cap: int) -> pd.DataFra
     # correlation-plant conv classes drawn up front (they shape gaps too):
     # bursty (retry storms, rapid turns) and bursty2 (refusal storms)
     conv_r = rng.random(size=n)
-    bursty = np.repeat(conv_r < 0.05, sizes)
-    bursty2 = np.repeat((conv_r >= 0.05) & (conv_r < 0.10), sizes)
+    bursty = np.repeat(conv_r < 0.05 * plant_scale, sizes)
+    bursty2 = np.repeat((conv_r >= 0.05 * plant_scale) & (conv_r < 0.10 * plant_scale), sizes)
 
     # timestamps: per-conv seeded start in 2025, strictly increasing gaps.
     # Normal convs gap 1–600s; burst convs gap 1–30s / 1–120s so the
@@ -177,33 +177,34 @@ def gen_chunk(conv_lo: int, conv_hi: int, seed: int, hot_cap: int) -> pd.DataFra
         )
 
     r = rng.random(size=total)
+    ps = plant_scale
     is_assist = role == "assistant"
     # each plant gets a disjoint slice of the uniform draw so probabilities are exact
-    _plant(rng, text, is_assist & (r < 0.010), PLANT["p_err_timeout"])
-    _plant(rng, text, is_assist & (r >= 0.010) & (r < 0.018), PLANT["p_err_only"])
+    _plant(rng, text, is_assist & (r < 0.010 * ps), PLANT["p_err_timeout"])
+    _plant(rng, text, is_assist & (r >= 0.010 * ps) & (r < 0.018 * ps), PLANT["p_err_only"])
     # a few non-assistant rows carry the full pattern but must NOT fire (P1 prefilter test)
-    _plant(rng, text, ~is_assist & (r < 0.004), PLANT["p_err_timeout"])
-    _plant(rng, text, (r >= 0.018) & (r < 0.024), PLANT["p_cred_early"], prepend=True)
-    _plant(rng, text, (r >= 0.024) & (r < 0.030), PLANT["p_cred_late"])
-    _plant(rng, text, (r >= 0.030) & (r < 0.036), PLANT["p_alpha_omega"])
-    _plant(rng, text, (r >= 0.036) & (r < 0.040), PLANT["p_alpha_omega_decoy"])
-    _plant(rng, text, (r >= 0.040) & (r < 0.044), PLANT["p_alpha_far"])
-    _plant(rng, text, (r >= 0.044) & (r < 0.048), PLANT["p_meta_ssh"])
-    _plant(rng, text, (r >= 0.048) & (r < 0.051), PLANT["p_meta_ftp"])
-    _plant(rng, text, (r >= 0.051) & (r < 0.053), PLANT["p_meta_telnet"])
-    _plant(rng, text, (r >= 0.053) & (r < 0.058), PLANT["p_code_hi"])
-    _plant(rng, text, (r >= 0.058) & (r < 0.064), PLANT["p_code_lo"])
-    _plant(rng, text, (r >= 0.064) & (r < 0.068), PLANT["p_md5"])
-    _plant(rng, text, (r >= 0.068) & (r < 0.071), PLANT["p_sha1_decoy"])
+    _plant(rng, text, ~is_assist & (r < 0.004 * ps), PLANT["p_err_timeout"])
+    _plant(rng, text, (r >= 0.018 * ps) & (r < 0.024 * ps), PLANT["p_cred_early"], prepend=True)
+    _plant(rng, text, (r >= 0.024 * ps) & (r < 0.030 * ps), PLANT["p_cred_late"])
+    _plant(rng, text, (r >= 0.030 * ps) & (r < 0.036 * ps), PLANT["p_alpha_omega"])
+    _plant(rng, text, (r >= 0.036 * ps) & (r < 0.040 * ps), PLANT["p_alpha_omega_decoy"])
+    _plant(rng, text, (r >= 0.040 * ps) & (r < 0.044 * ps), PLANT["p_alpha_far"])
+    _plant(rng, text, (r >= 0.044 * ps) & (r < 0.048 * ps), PLANT["p_meta_ssh"])
+    _plant(rng, text, (r >= 0.048 * ps) & (r < 0.051 * ps), PLANT["p_meta_ftp"])
+    _plant(rng, text, (r >= 0.051 * ps) & (r < 0.053 * ps), PLANT["p_meta_telnet"])
+    _plant(rng, text, (r >= 0.053 * ps) & (r < 0.058 * ps), PLANT["p_code_hi"])
+    _plant(rng, text, (r >= 0.058 * ps) & (r < 0.064 * ps), PLANT["p_code_lo"])
+    _plant(rng, text, (r >= 0.064 * ps) & (r < 0.068 * ps), PLANT["p_md5"])
+    _plant(rng, text, (r >= 0.068 * ps) & (r < 0.071 * ps), PLANT["p_sha1_decoy"])
     blk = np.isin(tool, ["bash", "email"])
-    _plant(rng, text, blk & (r >= 0.071) & (r < 0.120), PLANT["p_exec"])
-    _plant(rng, text, ~blk & (r >= 0.071) & (r < 0.080), PLANT["p_exec"])  # non-firing: tool not blacklisted
+    _plant(rng, text, blk & (r >= 0.071 * ps) & (r < 0.120 * ps), PLANT["p_exec"])
+    _plant(rng, text, ~blk & (r >= 0.071 * ps) & (r < 0.080 * ps), PLANT["p_exec"])  # non-firing: tool not blacklisted
 
     # correlation plants: dense in the burst convs, sparse elsewhere
-    _plant(rng, text, (bursty & (r >= 0.120) & (r < 0.50)) | (~bursty & (r >= 0.120) & (r < 0.135)), PLANT["p_retry"])
-    _plant(rng, text, (bursty2 & (r >= 0.50) & (r < 0.70)) | (~bursty2 & (r >= 0.50) & (r < 0.515)), PLANT["p_refuse"])
-    _plant(rng, text, (r >= 0.70) & (r < 0.715), PLANT["p_login_failed"])
-    _plant(rng, text, (r >= 0.715) & (r < 0.745), PLANT["p_sudo"])
+    _plant(rng, text, (bursty & (r >= 0.120 * ps) & (r < 0.50 * ps)) | (~bursty & (r >= 0.120 * ps) & (r < 0.135 * ps)), PLANT["p_retry"])
+    _plant(rng, text, (bursty2 & (r >= 0.50 * ps) & (r < 0.70 * ps)) | (~bursty2 & (r >= 0.50 * ps) & (r < 0.515 * ps)), PLANT["p_refuse"])
+    _plant(rng, text, (r >= 0.70 * ps) & (r < 0.715 * ps), PLANT["p_login_failed"])
+    _plant(rng, text, (r >= 0.715 * ps) & (r < 0.745 * ps), PLANT["p_sudo"])
 
     return pd.DataFrame(
         {
@@ -223,6 +224,7 @@ def write_transcripts(
     seed: int = 42,
     hot_cap: int = 8000,
     chunk_convs: int = 2000,
+    plant_scale: float = 1.0,
 ) -> int:
     """Write the transcript table as a multi-file parquet directory.
 
@@ -238,7 +240,7 @@ def write_transcripts(
     part = 0
     for lo in range(0, n_convs, chunk_convs):
         hi = min(lo + chunk_convs, n_convs)
-        pdf = gen_chunk(lo, hi, seed, hot_cap)
+        pdf = gen_chunk(lo, hi, seed, hot_cap, plant_scale)
         perm = np.random.default_rng([seed, 7919, lo]).permutation(len(pdf))
         pdf = pdf.iloc[perm].reset_index(drop=True)
         tbl = pa.Table.from_pandas(pdf, schema=SCHEMA, preserve_index=False)

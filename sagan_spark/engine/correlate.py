@@ -153,10 +153,29 @@ def run_correlate(alerts: DataFrame, ruleset: RuleSet, scope: str = "all") -> Da
         if len(out):
             yield out
 
+    if scope == "linear":
+        # Strictly ONE consumer of the match subtree: every alert row takes
+        # the conv_id shuffle and flows through the replay (stateless sids
+        # pass through inside _replay_sorted). Costs an Arrow round-trip
+        # for pass-through alerts, but every cost here (shuffle write/read,
+        # sort, Arrow, replay) is per-task parallel — no persist, no
+        # double-compute. This is the default: exchange reuse can NEVER
+        # deduplicate a dual-consumer plan whose subtree contains a Python
+        # stage (MapInPandas does not canonicalize equal across branches —
+        # verified empirically: a pushdown-barriered identical exchange
+        # still executed twice), and a persist materialization contends on
+        # the block manager/disk instead of scaling with cores.
+        return (
+            alerts.repartition("conv_id")
+            .sortWithinPartitions("conv_id", "turn_idx", "sid")
+            .mapInPandas(replay, schema=schema)
+        )
+
     if scope == "all":
-        # ONE Exchange, shared by both branches via Catalyst's ReuseExchange:
-        # the stateful branch sorts + replays in Python; the stateless branch
-        # stays JVM-side (no Arrow round-trip for pass-through alerts).
+        # dual-consumer shuffle: stateful branch replays in Python, the
+        # stateless branch stays JVM-side. The match subtree computes once
+        # per branch (see "linear" note) — combine with a persisted
+        # upstream (pipeline.build_alerts(persist_intermediate=True)).
         shuffled = alerts.repartition("conv_id")
         replayed = (
             shuffled.filter(shuffled.sid.isin(stateful_sids))

@@ -319,8 +319,40 @@ def _ascii(s: str) -> bool:
     return all(ord(ch) < 128 for ch in s)
 
 
+import re as _re
+
+# Escapes/constructs whose semantics differ (or may differ) between Python
+# re and Java java.util.regex — any hit keeps the pattern on the UDF path.
+_PCRE_UNSAFE = _re.compile(r"\\[1-9]|\\[AZzGuUpPkKX]|\+\+|\*\+|\?\+")
+_ALLOWED_INLINE = _re.compile(r"\(\?(?::|[ism]+\))")  # (?: and (?i)/(?ism)
+
+
+def _java_safe_pcre(p) -> bool:
+    """True iff the pattern is in the conservative subset where Python re
+    and Java regex agree on ASCII text: literals, classes, \\s \\w \\d \\b,
+    ., ^, $, alternation, standard quantifiers, plain/(?:)/(?ism) groups,
+    flags i/s/m.
+
+    Known residual divergence: with flag "i", Python folds a few non-ASCII
+    characters onto ASCII letters (ſ→s, K→k, ı→i) where Java's default
+    (?i) does not. A rule set that must match such text exactly should
+    avoid "i" on those letters or force the UDF path (e.g. a named group).
+    The engine≡oracle differential tests would surface any such case."""
+    pat = p.pattern
+    if not _ascii(pat) or not set(p.flags) <= {"i", "s", "m"}:
+        return False
+    if _PCRE_UNSAFE.search(pat):
+        return False
+    for m in _re.finditer(r"\(\?", pat):
+        if not _ALLOWED_INLINE.match(pat, m.start()):
+            return False
+    return True
+
+
 def native_compilable(rule: Rule) -> bool:
-    if rule.pcres or rule.groks or rule.field_conds:
+    if rule.groks or rule.field_conds:
+        return False
+    if any(not _java_safe_pcre(p) for p in rule.pcres):
         return False
     if any(c.relative for c in rule.contents):
         return False
@@ -366,6 +398,11 @@ def _native_cond(rule: Rule, folded) -> F.Column:
             hay = F.lower(hay)
         m = hay.contains(F.lit(needle))
         cond = cond & (~m if c.negated else m)
+    for p in rule.pcres:
+        flags = "".join(ch for ch in p.flags if ch in "ism")
+        pat = (f"(?{flags})" if flags else "") + p.pattern
+        m = F.col("text").rlike(pat)
+        cond = cond & (~m if p.negated else m)
     for mc in rule.meta_contents:
         hay = F.lower(F.col("text")) if mc.nocase else F.col("text")
         anym = F.lit(False)

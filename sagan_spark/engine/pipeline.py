@@ -47,23 +47,22 @@ def build_alerts(
     input_df: DataFrame,
     ruleset: RuleSet = CANONICAL,
     fold_dims: bool = True,
-    correlate_scope: str = "split",
-    persist_intermediate: bool = True,
+    correlate_scope: str = "linear",
+    persist_intermediate: bool = False,
 ) -> DataFrame:
-    """The alert DataFrame.
+    """The alert DataFrame (lazy).
 
     Plan: scan → hybrid match (native Column rules + fast-pattern-pruned
-    UDF rules) → broadcast enrich joins → persist → conv_id shuffle of the
-    STATEFUL slice only + replay, stateless alerts bypass → literal-map
-    rule meta.
-
-    The persist is load-bearing: the correlation split (and any further
-    action — counts, four sink writes) consumes the matched alerts more
-    than once, and Catalyst pushes the sid filters below the repartition
-    so exchange reuse cannot kick in. Without the persist the scan + match
-    subtree runs once per consumer — at 100 TB that doubles (or worse) the
-    dominant cost. Alert volume ≪ input for any sane rule set, so caching
-    alerts is far cheaper than rescanning input.
+    UDF rules) → broadcast enrich joins → ONE conv_id Exchange → sorted
+    partition replay (stateless alerts pass through inside it) →
+    literal-map rule meta. Strictly linear: the scan + match subtree has
+    exactly one consumer, so nothing recomputes and nothing needs a
+    persist; every stage cost is per-task parallel (scales with cores/
+    executors). See correlate.run_correlate for why the branching
+    alternatives don't scale. For workloads where stateful sids are very
+    rare and alert rows very wide, ``correlate_scope="split"`` +
+    ``persist_intermediate=True`` trades a cache materialization for a
+    smaller shuffle.
     """
     from ..packaging import ensure_shipped
 
@@ -126,4 +125,35 @@ def run(
         route.write_sinks(alerts, out_dir)
     if count_input:
         res.input_rows = df.count()
+    return res
+
+
+def run_dynamic(
+    spark: SparkSession,
+    input_path: str,
+    ruleset: RuleSet = CANONICAL,
+    out_dir: str | None = None,
+) -> PipelineResult:
+    """C7 depends_on / dynamic rules ([PUB src/processors/dynamic-rules.c]),
+    two-pass batch semantics: pass 1 runs all independent rules; a dependent
+    rule is enabled for pass 2 iff its parent sid fired at least once in
+    pass 1. Only the tiny fired-sid set crosses to the driver. Dependent
+    rules re-scan the input — acceptable because dynamic rules are rare and
+    pass 2 can also be narrowed by its own fast patterns."""
+    base = RuleSet(tuple(r for r in ruleset.rules if r.depends_on is None))
+    dependents = [r for r in ruleset.rules if r.depends_on is not None]
+    res = run(spark, input_path, base, out_dir=None)
+    if dependents:
+        fired = set(res.sid_counts)
+        enabled = tuple(r for r in dependents if r.depends_on in fired)
+        if enabled:
+            res2 = run(spark, input_path, RuleSet(enabled), out_dir=None)
+            for k, v in res2.sink_counts.items():
+                res.sink_counts[k] = res.sink_counts.get(k, 0) + v
+            res.sid_counts.update(res2.sid_counts)
+            res.alerts = res.alerts.unionByName(res2.alerts)
+    if out_dir is not None:
+        alerts = res.alerts.persist(StorageLevel.MEMORY_AND_DISK)
+        res.alerts = alerts
+        route.write_sinks(alerts, out_dir)
     return res

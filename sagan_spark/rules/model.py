@@ -187,6 +187,10 @@ class Rule:
     rev: int = 1
     priority: int = 3
     noalert: bool = False  # flexbit-setter rules: act on state, emit nothing
+    # C7 depends_on / dynamic rules ([PUB src/processors/dynamic-rules.c]):
+    # this rule is evaluated only if the named sid fired at least once in
+    # the run (two-pass batch semantics — see engine/pipeline.run_dynamic).
+    depends_on: int | None = None
     roles: tuple[str, ...] | None = None  # P1 program prefilter
     roles_negated: bool = False
     tools: tuple[str, ...] | None = None  # P2 facility prefilter

@@ -16,6 +16,12 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONF: dict[str, str] = {
+    # local mode runs everything in the driver JVM. Empirically (see
+    # BENCH/BASELINE.md notes) a SMALL heap is faster for this string-heavy
+    # workload: persisted blocks spill to compressed lz4 disk blocks instead
+    # of occupying DRAM, and G1 young collections stay short. Measured at
+    # local[32], 6.4M turns, wide rule set: 2g→39s, 6g→56s, 48g→177s.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "2g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

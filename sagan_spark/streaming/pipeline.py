@@ -1,0 +1,229 @@
+"""Streaming variant (SURVEY §3.2 E3) — Structured Streaming end to end.
+
+The reference consumes an unbounded FIFO ([PUB src/input-pipe.c]); here the
+same stages run over ``readStream``:
+
+  file/Iceberg stream → hybrid match (stream-safe: Column exprs +
+  mapInPandas) → stream-static broadcast enrich joins →
+  ``applyInPandasWithState`` keyed by conv_id for after/threshold/flexbit
+  state (carried across micro-batches) → per-sink append writes
+  (``foreachBatch`` fan-out).
+
+Ordering contract: Sagan guarantees per-source arrival order; the streaming
+analogue is per-conversation turn order across micro-batches. Within a
+batch each conversation's rows are sorted by turn_idx; across batches the
+source must deliver a conversation's turns in non-decreasing order (true
+for append-only transcript logs; enforceable with ``maxFilesPerTrigger`` +
+chronological file naming). Late/replayed turns would need watermark +
+reorder buffering — documented out of scope.
+
+State per conversation is O(#stateful rules + #bits): counters (window
+start + count per sid) and bit timestamps, serialized as JSON in the
+GroupState — the streaming twin of Sagan's mmap flexbit/threshold tables.
+A production deployment adds a state TTL for dead conversations
+(ProcessingTimeTimeout); tests use NoTimeout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from ..datagen import dims as dimsmod
+from ..engine import enrich, match, route
+from ..rules.canonical import CANONICAL
+from ..rules.model import Rule, RuleSet
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampNTZType()),
+    ]
+)
+
+STATE_SCHEMA = StructType([StructField("blob", StringType())])
+
+
+def _replay_batch_incremental(
+    rules_by_sid: dict[int, Rule],
+    pdf: pd.DataFrame,
+    counters: dict,
+    bits: dict,
+) -> list:
+    """Replay one conversation's NEW rows (one micro-batch), mutating the
+    carried state. Same semantics as engine/correlate._replay_sorted —
+    kept honest by the streaming≡batch differential test. Returns the
+    pandas index labels of rows that emit."""
+    pdf = pdf.sort_values(["turn_idx", "sid"], kind="mergesort")
+    turn = pdf["turn_idx"].to_numpy()
+    sid = pdf["sid"].to_numpy()
+    ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64") / 1_000_000.0
+    emit_rows: list = []
+    n = len(pdf)
+    i = 0
+    while i < n:
+        j = i + 1
+        while j < n and turn[j] == turn[i]:
+            j += 1
+        pending_sets: list[tuple[str, str, float, float | None]] = []
+        for k in range(i, j):
+            rule = rules_by_sid[int(sid[k])]
+            t = ts[k]
+            detected = True
+            for fb in rule.flexbits:
+                if fb.action in ("isset", "isnotset"):
+                    cur = bits.get(fb.name)
+                    is_set = cur is not None and (cur[1] is None or (t - cur[0]) <= cur[1])
+                    if (fb.action == "isset") != is_set:
+                        detected = False
+            if not detected:
+                continue
+            emit = True
+            spec = rule.after or rule.threshold
+            if spec is not None:
+                ws, cnt = counters.get(str(rule.sid), (None, 0))
+                if ws is None or t > ws + spec.seconds:
+                    ws, cnt = t, 1
+                else:
+                    cnt += 1
+                counters[str(rule.sid)] = (ws, cnt)
+                if rule.after is not None:
+                    emit = cnt > rule.after.count
+                else:
+                    th = rule.threshold
+                    if th.type in ("limit", "suppress"):
+                        emit = cnt <= th.count
+                    else:
+                        emit = cnt % th.count == 0
+            for fb in rule.flexbits:
+                if fb.action in ("set", "unset"):
+                    pending_sets.append(
+                        (fb.action, fb.name, t, float(fb.expire) if fb.expire is not None else None)
+                    )
+            if emit:
+                emit_rows.append(pdf.index[k])
+        for action, name, t, exp in pending_sets:
+            if action == "set":
+                bits[name] = (t, exp)
+            else:
+                bits.pop(name, None)
+        i = j
+    return emit_rows
+
+
+def _make_state_fn(ruleset: RuleSet, out_cols: list[str]):
+    rules_by_sid = {r.sid: r for r in ruleset.rules if r.stateful}
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            blob = json.loads(state.get[0])
+            counters = {k: tuple(v) for k, v in blob["counters"].items()}
+            bits = {k: tuple(v) for k, v in blob["bits"].items()}
+        else:
+            counters, bits = {}, {}
+        outs = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            keep = _replay_batch_incremental(rules_by_sid, pdf, counters, bits)
+            if keep:
+                outs.append(pdf.loc[keep, out_cols])
+        state.update((json.dumps({"counters": counters, "bits": bits}),))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return fn
+
+
+def build_stream(
+    spark: SparkSession,
+    input_dir: str,
+    ruleset: RuleSet = CANONICAL,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """The streaming alert DataFrame (unstarted query)."""
+    from ..packaging import ensure_shipped
+
+    ensure_shipped(spark)
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    matched = match.run_match(stream, ruleset)
+    enriched = enrich.attach_dims(
+        matched,
+        dimsmod.role_dim(spark),
+        dimsmod.tool_dim(spark),
+        dimsmod.risk_ranges(spark),
+    )
+
+    stateful_sids = [r.sid for r in ruleset.rules if r.stateful]
+    correlated = enriched
+    if stateful_sids:
+        # extracted (map) is dropped through the state path: Arrow state
+        # output with MapType is fragile across versions, and no stateful
+        # canonical rule extracts fields. Re-attachable via grok re-run if
+        # a rule set ever needs both.
+        stateless = enriched.filter(~enriched.sid.isin(stateful_sids)).drop("extracted")
+        stateful = enriched.filter(enriched.sid.isin(stateful_sids)).drop("extracted")
+        out_schema = stateful.schema
+        replayed = stateful.groupBy("conv_id").applyInPandasWithState(
+            _make_state_fn(ruleset, [f.name for f in out_schema.fields]),
+            outputStructType=out_schema,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        correlated = stateless.unionByName(replayed)
+    return route.attach_rule_meta(correlated, ruleset)
+
+
+def run_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    ruleset: RuleSet = CANONICAL,
+    max_files_per_trigger: int = 1,
+):
+    """Start the streaming pipeline; per-sink fan-out via foreachBatch
+    (each micro-batch appends to parquet per sink — the streaming twin of
+    route.write_sinks). Returns the StreamingQuery."""
+    alerts = build_stream(spark, input_dir, ruleset, max_files_per_trigger)
+    sinks = ruleset.sinks()
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        for sink in sinks:
+            (
+                batch_df.filter(F.col("sink") == sink)
+                .sortWithinPartitions("conv_id", "turn_idx", "sid")
+                .write.mode("append")
+                .parquet(os.path.join(out_dir, sink))
+            )
+        batch_df.unpersist()
+
+    return (
+        alerts.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -1,0 +1,75 @@
+"""Physical-plan shape assertions (SURVEY §4.1 "verified targets"):
+the optimizations we rely on at 100 TB must be visible in explain output,
+not just hoped for."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from sagan_spark.engine import pipeline
+from sagan_spark.rules.canonical import CANONICAL
+
+
+@pytest.fixture(scope="module")
+def plan(spark, tiny_path) -> str:
+    # AQE's pre-execution explain hides exchange/codegen details behind
+    # isFinalPlan=false; disable it while capturing the assertable plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.read.parquet(tiny_path)
+        alerts = pipeline.build_alerts(spark, df, CANONICAL, persist_intermediate=False)
+        return alerts._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_scan_prunes_columns(plan):
+    # every parquet scan must read only the 6 transcript columns
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"conv_id", "turn_idx", "role", "text", "tool", "ts"}, cols
+
+
+def test_fast_pattern_filter_reaches_scan(plan):
+    # the UDF branch's coarse prefilter must appear as a data filter
+    # (Contains on text) below the Python stage, and as PushedFilters
+    # row-group hints on the scan
+    assert re.search(r"PushedFilters: \[.*StringContains\(text", plan), "prefilter not pushed"
+
+
+def test_broadcast_joins_only(plan):
+    # enrich joins are all broadcast: no SortMergeJoin, no shuffle joins
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # the range (CIDR-style) join
+
+
+def test_single_stateful_exchange(plan):
+    # exactly one data exchange (the conv_id correlation shuffle);
+    # broadcasts don't count
+    ex = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(ex) == 1, ex
+    assert re.search(r"hashpartitioning\(conv_id", plan)
+
+
+def test_whole_stage_codegen_present(plan):
+    assert "[codegen id :" in plan
+
+
+def test_arrow_stage_is_bounded_to_candidates(spark, tiny_path):
+    # the mapInPandas (ArrowEvalPython / MapInPandas) node must sit above a
+    # Filter, not directly above the scan — i.e., only candidates cross
+    from sagan_spark.engine.match import run_match
+
+    df = spark.read.parquet(tiny_path)
+    plan = run_match(df, CANONICAL)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    map_pos = plan.find("MapInPandas")
+    assert map_pos != -1
+    tail = plan[map_pos:]
+    assert "Filter" in tail.split("Scan parquet")[0], "no prefilter below the Python stage"
