@@ -322,6 +322,17 @@ def q_json_extract(spark, sf):  # S2 JSON field mapping
     )
 
 
+def q_session_windows(spark, sf):  # §2.7 session_window sessionization
+    e = _t(spark, sf, "events")
+    sw = e.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count("*").alias("events_in_session")
+    )
+    return sw.groupBy("user_id").agg(
+        F.count("*").alias("sessions"),
+        F.sum("events_in_session").cast("long").alias("events"),
+    )
+
+
 def q_tpch_q1(spark, sf):  # pricing summary (agg coverage)
     li = _t(spark, sf, "lineitem")
     return (
@@ -412,14 +423,14 @@ def q_minhash_lsh_dups(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
-    d = _t(spark, sf, "documents").limit(200)
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
     sh = D.shingles(d)
     sig = D.minhash_signature(sh, num_hashes=8)
     pairs = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
     jac = D.ngram_jaccard(sh, pairs)
     return jac.select(
         F.count("*").alias("pairs"),
-        F.round(F.sum("jaccard"), 2).alias("jaccard_sum"),
+        F.coalesce(F.round(F.sum("jaccard"), 2), F.lit(0.0)).alias("jaccard_sum"),
     )
 
 
@@ -427,6 +438,15 @@ def q_simhash(spark, sf):
     d = _t(spark, sf, "documents")
     return D.simhash64(d).select(
         F.countDistinct("simhash").alias("distinct_hashes"), F.count("*").alias("docs")
+    )
+
+
+def q_simhash_portable(spark, sf):
+    d = _t(spark, sf, "documents")
+    return D.simhash_portable(d, bits=16).select(
+        F.countDistinct("simhash").alias("distinct_hashes"),
+        F.sum("simhash").cast("long").alias("hash_sum"),
+        F.count("*").alias("docs"),
     )
 
 
@@ -516,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk": q_topk,
         "union_merge": q_union_merge,
         "json_extract": q_json_extract,
+        "session_windows": q_session_windows,
         "tpch_q1": q_tpch_q1,
         "tpch_q5ish": q_tpch_q5ish,
         "dedup_exact": q_dedup_exact,
@@ -527,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_portable": q_simhash_portable,
         "ann_threshold": q_ann_threshold,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -641,6 +663,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
                    CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type""",
+        "session_windows": """
+            WITH gaps AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events),
+            sess AS (
+              SELECT user_id,
+                     SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+              FROM gaps)
+            SELECT user_id, COUNT(DISTINCT session_id) AS sessions,
+                   CAST(COUNT(*) AS BIGINT) AS events
+            FROM sess GROUP BY user_id""",
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -723,7 +761,99 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 'video' END AS kind
                   FROM documents)
             GROUP BY kind""",
+        "simhash_portable": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) AS h
+              FROM toks WHERE length(tok) > 0),
+            bs AS (
+              SELECT doc_id, COUNT(*) AS n,
+                     {bitsums}
+              FROM h GROUP BY doc_id)
+            SELECT COUNT(DISTINCT sim) AS distinct_hashes,
+                   CAST(SUM(sim) AS BIGINT) AS hash_sum,
+                   COUNT(*) AS docs
+            FROM (SELECT doc_id, {simexpr} AS sim FROM bs)""".format(
+            bitsums=",\n                     ".join(
+                f"SUM((h >> {b}) & 1) AS b{b}" for b in range(16)
+            ),
+            simexpr=" + ".join(
+                f"(CASE WHEN b{b} * 2 > n THEN {1 << b} ELSE 0 END)" for b in range(16)
+            ),
+        ),
+        "minhash_lsh_dups": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, unnest(
+                (list_transform(t, (x, i) -> array_to_string(t[i : i + 2], ' ')))
+                  [1 : greatest(len(t) - 2, 1)]) AS shingle
+              FROM toks),
+            sh2 AS (SELECT * FROM sh WHERE length(shingle) > 0),
+            sig AS (
+              SELECT doc_id,
+                     {mins}
+              FROM sh2 GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band_idx, h0 || '|' || h1 AS band_hash FROM sig
+              UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+              UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+              UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+               AND l.doc_id < r.doc_id)
+            SELECT COUNT(*) AS candidate_pairs FROM pairs""".format(
+            mins=",\n                     ".join(
+                f"MIN(substring(md5('{i}:' || shingle), 1, 16)) AS h{i}" for i in range(8)
+            )
+        ),
+        "ngram_jaccard": """
+            WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM docs),
+            sh AS (
+              SELECT DISTINCT doc_id, unnest(
+                (list_transform(t, (x, i) -> array_to_string(t[i : i + 2], ' ')))
+                  [1 : greatest(len(t) - 2, 1)]) AS shingle
+              FROM toks),
+            sh2 AS (SELECT * FROM sh WHERE length(shingle) > 0),
+            sig AS (
+              SELECT doc_id,
+                     {mins}
+              FROM sh2 GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band_idx, h0 || '|' || h1 AS band_hash FROM sig
+              UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+              UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+              UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r
+                ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+               AND l.doc_id < r.doc_id),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
+            inter AS (
+              SELECT p.a, p.b, COUNT(*) AS i
+              FROM pairs p
+              JOIN sh2 sa ON sa.doc_id = p.a
+              JOIN sh2 sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+              GROUP BY p.a, p.b)
+            SELECT COUNT(*) AS pairs,
+                   COALESCE(ROUND(SUM(ROUND(i / (za.sz + zb.sz - i), 4)), 2), 0.0)
+                     AS jaccard_sum
+            FROM inter
+            JOIN sizes za ON za.doc_id = a
+            JOIN sizes zb ON zb.doc_id = b""".format(
+            mins=",\n                     ".join(
+                f"MIN(substring(md5('{i}:' || shingle), 1, 16)) AS h{i}" for i in range(8)
+            )
+        ),
         # no oracle (rows-only, non-SQL-expressible or engine-specific hashing):
-        # minhash_lsh_dups, ngram_jaccard, simhash (xxhash64), ann_lsh_topk,
-        # ann_ivf_topk, multimodal_features, pipeline_sink_counts
+        # simhash (xxhash64), ann_lsh_topk, ann_ivf_topk,
+        # multimodal_features, pipeline_sink_counts
     }

@@ -126,6 +126,33 @@ def ngram_jaccard(
     )
 
 
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Cross-engine-reproducible SimHash variant: token hash = first 8 hex
+    chars of md5(token) as int; bit b of the fingerprint = majority vote of
+    token-hash bit b. ``bits`` kept small so the SQL oracle (one aggregate
+    per bit) stays readable. Same shuffle shape as simhash64."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    h = toks.select(
+        id_col, F.conv(F.substring(F.md5(F.encode(F.col("tok"), "utf-8")), 1, 8), 16, 10).cast("long").alias("h")
+    )
+    bit_sums = h.groupBy(id_col).agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}") for b in range(bits)],
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{b}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bit_sums.select(F.col(id_col), sim.alias("simhash"))
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per doc from whitespace tokens: (id, simhash).
 
