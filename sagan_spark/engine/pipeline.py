@@ -1,19 +1,21 @@
 """End-to-end batch pipeline: parse → match → enrich → correlate → route.
 
 The Spark re-expression of Sagan's per-event loop (SURVEY §3.2 E1). Plan
-shape (verified by tests/test_plan.py):
+shape (asserted by tests/test_plan_shape.py):
 
-  parquet/Iceberg scan (ReadSchema pruned to the 6 transcript columns)
-    → ArrowEvalPython [vectorized match, ONE pass]     ← JVM↔Py boundary
-    → BroadcastHashJoin ×2 + BroadcastNestedLoopJoin   (attach dims)
-    → persist                                          (fan-out barrier)
-    → stateless alerts ───────────────┐
-    → stateful alerts → Exchange hashpartition(conv_id)
-        → FlatMapGroupsInPandas replay ┴→ union → route → sinks + counts
+  parquet/Iceberg scan ×2 branches (ReadSchema pruned to the 6 transcript
+  columns; fast-pattern StringContains pushed to the scan)
+    ├→ native rules: when-array + explode    [whole-stage codegen]
+    └→ UDF rules: Filter(fast patterns) → MapInPandas   ← JVM↔Py boundary
+    → union → BroadcastHashJoin ×2 + BroadcastNestedLoopJoin (attach dims)
+    → Exchange hashpartitioning(conv_id)     [the ONLY data shuffle]
+    → Sort within partitions → MapInPandas replay (stateless pass through)
+    → literal-map rule meta → sinks / Observation counts
 
-The persist is deliberate: correlation, four sink writes and two count
-aggregations all reuse the matched+enriched alerts; without it every
-branch would rescan the 100 TB input and rerun the match UDF.
+Strictly linear past the union: every stage has one consumer, so nothing
+recomputes and nothing needs a persist (counts ride the single action via
+the Observation API). Only the out_dir path persists alerts, because four
+sink writers reuse them.
 """
 
 from __future__ import annotations
@@ -37,6 +39,7 @@ class PipelineResult:
     sink_counts: dict[str, int] = field(default_factory=dict)
     sid_counts: dict[int, int] = field(default_factory=dict)
     input_rows: int | None = None
+    metrics: dict = field(default_factory=dict)  # A3 stats ([PUB src/stats-json.c])
 
     def unpersist(self) -> None:
         self.alerts.unpersist()
@@ -100,13 +103,23 @@ def run(
     from pyspark.sql import Observation
 
     df = iomod.read_table(spark, input_path, columns=iomod.TRANSCRIPT_COLUMNS)
+    # input-side metrics ride the same action (zero extra jobs): rows in,
+    # approx distinct conversations, time span — the stats-json analogue
+    obs_in = Observation()  # unnamed → unique (plans may be unioned, e.g. run_dynamic)
+    df = df.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.approx_count_distinct("conv_id").alias("convs_approx"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+    )
     alerts = build_alerts(spark, df, ruleset, fold_dims=fold_dims)
     res = PipelineResult(alerts=alerts)
     sinks = ruleset.sinks()
     sids = sorted(r.sid for r in ruleset.rules if not r.noalert)
 
     if out_dir is None:
-        obs = Observation("sagan_counts")
+        obs = Observation()
         metrics = [
             F.sum(F.when(F.col("sink") == s, 1).otherwise(0)).alias(f"sink_{s}") for s in sinks
         ] + [
@@ -117,6 +130,8 @@ def run(
         got = obs.get
         res.sink_counts = {s: got[f"sink_{s}"] for s in sinks if got[f"sink_{s}"]}
         res.sid_counts = {s: got[f"sid_{s}"] for s in sids if got[f"sid_{s}"]}
+        res.metrics = dict(obs_in.get)
+        res.metrics["alerts"] = got["alerts"] or 0
     else:
         alerts = alerts.persist(StorageLevel.MEMORY_AND_DISK)
         res.alerts = alerts
