@@ -124,19 +124,26 @@ def _fold_enrich(rule: Rule, dims: _FoldedDims):
 
 
 def _rule_mask(rule: Rule, pdf: pd.DataFrame, folded) -> np.ndarray:
-    """Vectorized candidate mask for one rule over one Arrow batch."""
+    """Vectorized candidate mask for one rule over one Arrow batch.
+
+    Null semantics (identical to the native Column path and the oracle):
+    null role/tool never satisfy a positive membership test; null text
+    fails any rule that has a text predicate."""
     n = len(pdf)
     mask = np.ones(n, dtype=bool)
     role = pdf["role"]
     tool = pdf["tool"]
     text = pdf["text"]
+    if rule.has_text_pred:
+        mask &= text.notna().to_numpy()
+        text = text.fillna("")
 
     if rule.roles is not None:
         m = role.isin(rule.roles).to_numpy()
-        mask &= ~m if rule.roles_negated else m
+        mask &= (~m & role.notna().to_numpy()) if rule.roles_negated else m
     if rule.tools is not None:
         m = tool.isin(rule.tools).to_numpy()
-        mask &= ~m if rule.tools_negated else m
+        mask &= (~m & tool.notna().to_numpy()) if rule.tools_negated else m
 
     roles_ok, tools_ok, intervals = folded
     if roles_ok is not None:

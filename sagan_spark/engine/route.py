@@ -71,6 +71,14 @@ def attach_rule_meta(alerts: DataFrame, ruleset: RuleSet) -> DataFrame:
     )
 
 
+def _nn(name: str) -> F.Column:
+    """Sink fields render null role/tool as '-' (format_string would print
+    'null' and to_json would drop the key — both diverge from the oracle's
+    formatting). The transcript contract makes conv_id/turn_idx/ts/text
+    non-null for routed rows; role/tool may legitimately be null."""
+    return F.coalesce(F.col(name), F.lit("-"))
+
+
 def fast_line() -> F.Column:
     return F.format_string(
         "%s  [**] [1:%d:%d] %s [**] [Classification: %s] [Priority: %d] %s:%d %s %s - %s",
@@ -82,8 +90,8 @@ def fast_line() -> F.Column:
         F.col("priority"),
         F.col("conv_id"),
         F.col("turn_idx"),
-        F.col("role"),
-        F.col("tool"),
+        _nn("role"),
+        _nn("tool"),
         F.col("text"),
     )
 
@@ -99,8 +107,8 @@ def eve_json() -> F.Column:
             F.col("priority"),
             F.col("conv_id"),
             F.col("turn_idx"),
-            F.col("role"),
-            F.col("tool"),
+            _nn("role").alias("role"),
+            _nn("tool").alias("tool"),
             F.col("text"),
         )
     )

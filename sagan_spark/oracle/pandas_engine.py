@@ -81,6 +81,7 @@ class OracleResult:
 
 def format_line(a: dict, sink: str) -> str:
     ts: pd.Timestamp = a["ts"]
+    a = {**a, "role": a["role"] or "-", "tool": a["tool"] or "-"}
     if sink == "fast":
         t = ts.strftime("%Y-%m-%d %H:%M:%S.%f")
         return (

@@ -66,12 +66,20 @@ def match_stateless(rule: Rule, text: str, role: str, tool: str, hour: int, dow:
 
     Returns the extracted-field dict on match (possibly empty), or None.
     ``hour``/``dow``: UTC hour 0-23 and ISO weekday 1-7 of the row's ts.
+    Null text fails any rule with a text predicate; null role/tool never
+    satisfy a positive membership test (matches the Spark Column paths).
     """
+    if text is None and rule.has_text_pred:
+        return None
     if rule.roles is not None:
+        if role is None:
+            return None
         in_set = role in rule.roles
         if in_set == rule.roles_negated:
             return None
     if rule.tools is not None:
+        if tool is None:
+            return None
         in_set = tool in rule.tools
         if in_set == rule.tools_negated:
             return None
