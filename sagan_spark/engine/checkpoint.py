@@ -21,6 +21,7 @@ run read from, pinning reruns to a consistent table state.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -113,6 +114,15 @@ def run_resumable(
     os.makedirs(out_dir, exist_ok=True)
     manifest = _load_manifest(out_dir)
     manifest.setdefault("input_path", input_path)
+    # resume is only valid for the same rule set: completed units were
+    # routed under the old rules, so a silent skip would mix semantics
+    rs_fp = hashlib.sha256(repr(ruleset).encode()).hexdigest()[:16]
+    prev = manifest.setdefault("ruleset_fp", rs_fp)
+    if prev != rs_fp:
+        raise ValueError(
+            f"manifest at {out_dir} was written with a different rule set "
+            f"({prev} != {rs_fp}); use a fresh out_dir or delete the manifest"
+        )
     units = list_units(input_path, files_per_unit)
 
     processed = skipped = 0

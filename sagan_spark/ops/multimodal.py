@@ -82,6 +82,10 @@ def extract_features(media: DataFrame) -> DataFrame:
     checksum (md5) is computed Python-side to mimic a real kernel's cost
     profile; width/height come from the (stubbed) decoder."""
 
+    from ..packaging import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 

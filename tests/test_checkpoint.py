@@ -56,3 +56,15 @@ def test_rerun_is_noop(spark, tmp_path):
     r = cp.run_resumable(spark, path, out)
     assert r.processed_units == 0
     assert r.skipped_units == 4
+
+
+def test_resume_rejects_different_ruleset(spark, tmp_path):
+    import pytest
+
+    from sagan_spark.rules.bulk import bulk_ruleset
+
+    path = _multi_file_input(tmp_path)
+    out = str(tmp_path / "out_rsfp")
+    cp.run_resumable(spark, path, out, max_units=1)
+    with pytest.raises(ValueError, match="different rule set"):
+        cp.run_resumable(spark, path, out, ruleset=bulk_ruleset())
