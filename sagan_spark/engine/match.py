@@ -406,9 +406,16 @@ def _native_cond(rule: Rule, folded) -> F.Column:
         m = hay.contains(F.lit(needle))
         cond = cond & (~m if c.negated else m)
     for p in rule.pcres:
-        flags = "".join(ch for ch in p.flags if ch in "ism")
-        pat = (f"(?{flags})" if flags else "") + p.pattern
-        m = F.col("text").rlike(pat)
+        if _re.escape(p.pattern) == p.pattern and "s" not in p.flags and "m" not in p.flags:
+            # literal-only pattern: substring scan beats per-row regex
+            if "i" in p.flags:
+                m = F.lower(F.col("text")).contains(F.lit(p.pattern.lower()))
+            else:
+                m = F.col("text").contains(F.lit(p.pattern))
+        else:
+            flags = "".join(ch for ch in p.flags if ch in "ism")
+            pat = (f"(?{flags})" if flags else "") + p.pattern
+            m = F.col("text").rlike(pat)
         cond = cond & (~m if p.negated else m)
     for mc in rule.meta_contents:
         hay = F.lower(F.col("text")) if mc.nocase else F.col("text")
