@@ -59,6 +59,19 @@ def events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "error", F.lit(" an error occurred: tool timeout")).otherwise(
             F.lit("")
         ),
+        # click events carry a parseable endpoint (P10/P11 token rules)
+        F.when(
+            F.col("event_type") == "click",
+            F.concat(
+                F.lit(" connection from 10.0."),
+                F.pmod(k, F.lit(256)).cast("string"),
+                F.lit("."),
+                F.pmod(F.col("user_id"), F.lit(256)).cast("string"),
+                F.lit(" port "),
+                (F.lit(1024) + k).cast("string"),
+                F.lit(" proto tcp"),
+            ),
+        ).otherwise(F.lit("")),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
@@ -206,9 +219,15 @@ def q_intel_semi_join(spark, sf):  # J4 left-semi indicator match
     )
 
 
-def q_anti_join(spark, sf):  # isnotset analogue: left-anti
+def q_anti_join(spark, sf):  # isnotset analogue: left-anti (non-vacuous:
+    # "customers with no OPEN order" — every customer has SOME order, so the
+    # round-1 all-orders variant proved nothing on 0 rows)
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders").select("o_custkey")
+    o = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -235,15 +254,16 @@ def q_asof_flexbit(spark, sf):  # J5/C3 as-of lookup via window
 
 
 def q_after_sliding(spark, sf):  # C1 sliding-window variant (SQL-checkable)
+    # window/threshold sized so sf0.01 produces rows (cnt>3/600s was vacuous)
     e = _t(spark, sf, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-600, 0)
+        .rangeBetween(-1800, 0)
     )
     return (
         e.withColumn("cnt", F.count(F.lit(1)).over(w))
-        .where(F.col("cnt") > 3)
+        .where(F.col("cnt") > 2)
         .groupBy("user_id")
         .agg(F.count("*").alias("n"))
     )
@@ -434,13 +454,6 @@ def q_ngram_jaccard(spark, sf):
     )
 
 
-def q_simhash(spark, sf):
-    d = _t(spark, sf, "documents")
-    return D.simhash64(d).select(
-        F.countDistinct("simhash").alias("distinct_hashes"), F.count("*").alias("docs")
-    )
-
-
 def q_simhash_portable(spark, sf):
     d = _t(spark, sf, "documents")
     return D.simhash_portable(d, bits=16).select(
@@ -467,16 +480,20 @@ def q_ann_brute_topk(spark, sf):
     return SIM.brute_topk(emb.where(F.col("vec_id") != 0), q, k=10)
 
 
-def q_ann_lsh_topk(spark, sf):  # scale path — rows-only check (no SQL oracle)
+def q_ann_lsh_topk(spark, sf):  # scale path; oracle inlines the seeded planes
     emb = _t(spark, sf, "embeddings")
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return SIM.lsh_bucketed_topk(emb.where(F.col("vec_id") != 0), q, k=10)
+    return SIM.lsh_bucketed_topk(
+        emb.where(F.col("vec_id") != 0), q, k=10, nbits=ANN_NBITS, radius=ANN_RADIUS
+    )
 
 
-def q_ann_ivf_topk(spark, sf):  # rows-only check
+def q_ann_ivf_topk(spark, sf):  # centroid sample is md5-portable → SQL oracle
     emb = _t(spark, sf, "embeddings")
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    return SIM.ivf_topk(emb.where(F.col("vec_id") != 0), q, k=10)
+    return SIM.ivf_topk(
+        emb.where(F.col("vec_id") != 0), q, k=10, ncentroids=8, nprobe=2
+    )
 
 
 def q_embedding_norms(spark, sf):

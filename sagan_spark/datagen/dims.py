@@ -39,6 +39,17 @@ RISK_RANGES = pd.DataFrame(
     }
 )
 
+# J3: Bluedot reputation snapshot ([PUB src/processors/bluedot.c] queries a
+# live reputation API; the batch analogue is a periodically-refreshed static
+# dim). Keyed on tool (the indicator column of this payload transposition).
+BLUEDOT_DIM = pd.DataFrame(
+    {
+        "tool": ["none", "search", "browser", "python", "bash", "sql", "email", "calc"],
+        "bd_category": ["ok", "ok", "susp", "ok", "mal", "ok", "susp", "ok"],
+        "bd_score": pd.array([0, 5, 55, 10, 90, 5, 60, 0], dtype="int32"),
+    }
+)
+
 
 def role_dim(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(ROLE_DIM)
@@ -50,3 +61,7 @@ def tool_dim(spark: SparkSession) -> DataFrame:
 
 def risk_ranges(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(RISK_RANGES)
+
+
+def bluedot_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(BLUEDOT_DIM)

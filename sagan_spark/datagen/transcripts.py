@@ -101,19 +101,69 @@ PLANT = {
     # sid 1000012: flexbit set "login failed" → check "sudo"
     "p_login_failed": "authentication attempt: login failed for account",
     "p_sudo": "escalation: sudo command issued by the agent",
+    # sid 1000014: parse_src_ip/parse_port/parse_proto tokens (P10/P11)
+    "p_conn": "connection from 10.1.2.3 port 8443 proto TCP established",
+    "p_conn_partial": "connection from host port 8443 established",
 }
 
 
-def _sizes(rng: np.random.Generator, n_convs: int, hot_cap: int) -> np.ndarray:
-    cls = rng.choice(3, size=n_convs, p=[0.95, 0.04, 0.01])
-    sizes = np.empty(n_convs, dtype=np.int64)
-    sizes[cls == 0] = rng.integers(4, 41, size=int((cls == 0).sum()))
-    sizes[cls == 1] = rng.integers(100, 1001, size=int((cls == 1).sum()))
-    sizes[cls == 2] = rng.integers(5000, max(5001, hot_cap + 1), size=int((cls == 2).sum()))
-    return sizes
+# ---------------------------------------------------------------------------
+# Chunk-invariant randomness: every random value is a pure function of
+# (seed, conv index[, turn index], stream id) via a vectorized splitmix64
+# finalizer — NOT a sequential RNG — so gen_chunk(0,10) row-equals
+# concat(gen_chunk(0,3), gen_chunk(3,10)) exactly (tested). This is the
+# property the resumable-checkpoint tests and the "any chunking yields
+# identical rows" invariant rely on.
+# ---------------------------------------------------------------------------
+
+_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_C2 = np.uint64(0x94D049BB133111EB)
+_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+# per-purpose stream ids (arbitrary distinct constants)
+_S_CLASS, _S_SIZE, _S_START, _S_CONVR = 1, 2, 3, 4
+_S_ROLE, _S_TOOL, _S_TMPL, _S_GAP, _S_PLANT = 11, 12, 13, 14, 15
 
 
-def _plant(rng: np.random.Generator, text: np.ndarray, mask: np.ndarray, frag: str, prepend: bool = False) -> None:
+def _mix64(z):
+    """splitmix64 finalizer (public-domain constants), numpy-vectorized.
+    uint64 wraparound is the intent — numpy only warns on the scalar path."""
+    with np.errstate(over="ignore"):
+        z = np.uint64(z) if np.isscalar(z) else z.astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * _C1
+        z = (z ^ (z >> np.uint64(27))) * _C2
+        return z ^ (z >> np.uint64(31))
+
+
+def _h64(key: np.ndarray, stream: int, seed: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        salt = _mix64(np.uint64(seed) * _GAMMA + np.uint64(stream))
+        return _mix64(key.astype(np.uint64) * _GAMMA ^ salt)
+
+
+def _u01(key: np.ndarray, stream: int, seed: int) -> np.ndarray:
+    return _h64(key, stream, seed).astype(np.float64) / float(2**64)
+
+
+def _rint(key: np.ndarray, stream: int, seed: int, lo: int, hi: int) -> np.ndarray:
+    """Uniform int in [lo, hi) (modulo bias negligible for span ≪ 2^64)."""
+    return (lo + _h64(key, stream, seed) % np.uint64(hi - lo)).astype(np.int64)
+
+
+def _pick(key: np.ndarray, stream: int, seed: int, values: np.ndarray, p: np.ndarray):
+    idx = np.searchsorted(np.cumsum(p), _u01(key, stream, seed), side="right")
+    return values[np.minimum(idx, len(values) - 1)]
+
+
+def _sizes(conv_keys: np.ndarray, seed: int, hot_cap: int) -> np.ndarray:
+    clsr = _u01(conv_keys, _S_CLASS, seed)
+    small = _rint(conv_keys, _S_SIZE, seed, 4, 41)
+    med = _rint(conv_keys, _S_SIZE, seed, 100, 1001)
+    hot = _rint(conv_keys, _S_SIZE, seed, 5000, max(5001, hot_cap + 1))
+    return np.select([clsr < 0.95, clsr < 0.99], [small, med], default=hot)
+
+
+def _plant(text: np.ndarray, mask: np.ndarray, frag: str, prepend: bool = False) -> None:
     """Splice ``frag`` into the masked rows (vectorized string concat)."""
     if not mask.any():
         return
@@ -123,16 +173,20 @@ def _plant(rng: np.random.Generator, text: np.ndarray, mask: np.ndarray, frag: s
         text[mask] = text[mask] + ". " + frag
 
 
+_TURN_BITS = 21  # turn_idx < 2^21 — (conv_idx, turn_idx) packs into one u64 key
+
+
 def gen_chunk(conv_lo: int, conv_hi: int, seed: int, hot_cap: int, plant_scale: float = 1.0) -> pd.DataFrame:
     """Generate conversations [conv_lo, conv_hi) deterministically.
 
-    Each conversation's content depends only on (seed, conv index), so any
-    chunking yields identical rows — the property the resumable-checkpoint
-    tests rely on.
-    """
+    Every random value is a hash of (seed, conv index[, turn index]) — see
+    the chunk-invariance note above — so each conversation's content
+    depends only on (seed, conv index) and any chunking yields identical
+    rows (tested by test_rule_semantics chunk-equivalence)."""
+    assert hot_cap < (1 << _TURN_BITS), "hot_cap exceeds the turn-key packing bound"
     n = conv_hi - conv_lo
-    rng = np.random.default_rng([seed, conv_lo, conv_hi])
-    sizes = _sizes(rng, n, hot_cap)
+    conv_keys = np.arange(conv_lo, conv_hi, dtype=np.uint64)
+    sizes = _sizes(conv_keys, seed, hot_cap)
     total = int(sizes.sum())
     offsets = np.zeros(n, dtype=np.int64)
     offsets[1:] = np.cumsum(sizes)[:-1]
@@ -140,25 +194,28 @@ def gen_chunk(conv_lo: int, conv_hi: int, seed: int, hot_cap: int, plant_scale: 
     conv_idx = np.repeat(np.arange(conv_lo, conv_hi), sizes)
     conv_id = np.char.add("conv", np.char.zfill(conv_idx.astype("U10"), 8))
     turn_idx = (np.arange(total) - np.repeat(offsets, sizes)).astype(np.int32)
+    gkeys = (conv_idx.astype(np.uint64) << np.uint64(_TURN_BITS)) | turn_idx.astype(np.uint64)
 
-    role = rng.choice(ROLES, size=total, p=ROLE_P)
-    tool = rng.choice(TOOLS, size=total, p=TOOL_P)
+    role = _pick(gkeys, _S_ROLE, seed, ROLES, ROLE_P)
+    tool = _pick(gkeys, _S_TOOL, seed, TOOLS, TOOL_P)
 
     # correlation-plant conv classes drawn up front (they shape gaps too):
     # bursty (retry storms, rapid turns) and bursty2 (refusal storms)
-    conv_r = rng.random(size=n)
+    conv_r = _u01(conv_keys, _S_CONVR, seed)
     bursty = np.repeat(conv_r < 0.05 * plant_scale, sizes)
     bursty2 = np.repeat((conv_r >= 0.05 * plant_scale) & (conv_r < 0.10 * plant_scale), sizes)
 
     # timestamps: per-conv seeded start in 2025, strictly increasing gaps.
     # Normal convs gap 1–600s; burst convs gap 1–30s / 1–120s so the
     # after/threshold seconds windows see both dense (firing) and sparse
-    # (resetting) event trains.
+    # (resetting) event trains. One hash per turn, range selected per class
+    # — keeps the gap a pure function of (seed, conv, turn, class).
     base = np.datetime64("2025-01-01T00:00:00", "us")
-    conv_start = rng.integers(0, 120 * 86400, size=n) * 1_000_000  # within ~4 months
-    gaps = rng.integers(1, 601, size=total)
-    gaps[bursty] = rng.integers(1, 31, size=int(bursty.sum()))
-    gaps[bursty2] = rng.integers(1, 121, size=int(bursty2.sum()))
+    conv_start = _rint(conv_keys, _S_START, seed, 0, 120 * 86400) * 1_000_000
+    gap_h = _h64(gkeys, _S_GAP, seed)
+    gaps = (1 + gap_h % np.uint64(600)).astype(np.int64)
+    gaps[bursty] = (1 + gap_h[bursty] % np.uint64(30)).astype(np.int64)
+    gaps[bursty2] = (1 + gap_h[bursty2] % np.uint64(120)).astype(np.int64)
     gaps = gaps * 1_000_000
     g = np.cumsum(gaps)
     # per-conv cumulative: subtract the cumsum value just before each conv start
@@ -167,7 +224,7 @@ def gen_chunk(conv_lo: int, conv_hi: int, seed: int, hot_cap: int, plant_scale: 
     rel = g - np.repeat(head, sizes)
     ts = base + (np.repeat(conv_start, sizes) + rel).astype("timedelta64[us]")
 
-    tmpl = rng.integers(0, len(TEMPLATES), size=total)
+    tmpl = _rint(gkeys, _S_TMPL, seed, 0, len(TEMPLATES))
     text = np.array(TEMPLATES, dtype=object)[tmpl]
     # expand the {tool} placeholder where present
     has_ph = np.array(["{tool}" in TEMPLATES[i] for i in range(len(TEMPLATES))])[tmpl]
@@ -176,35 +233,39 @@ def gen_chunk(conv_lo: int, conv_hi: int, seed: int, hot_cap: int, plant_scale: 
             [t.replace("{tool}", tl) for t, tl in zip(text[has_ph], tool[has_ph])], dtype=object
         )
 
-    r = rng.random(size=total)
+    r = _u01(gkeys, _S_PLANT, seed)
     ps = plant_scale
     is_assist = role == "assistant"
     # each plant gets a disjoint slice of the uniform draw so probabilities are exact
-    _plant(rng, text, is_assist & (r < 0.010 * ps), PLANT["p_err_timeout"])
-    _plant(rng, text, is_assist & (r >= 0.010 * ps) & (r < 0.018 * ps), PLANT["p_err_only"])
+    _plant(text, is_assist & (r < 0.010 * ps), PLANT["p_err_timeout"])
+    _plant(text, is_assist & (r >= 0.010 * ps) & (r < 0.018 * ps), PLANT["p_err_only"])
     # a few non-assistant rows carry the full pattern but must NOT fire (P1 prefilter test)
-    _plant(rng, text, ~is_assist & (r < 0.004 * ps), PLANT["p_err_timeout"])
-    _plant(rng, text, (r >= 0.018 * ps) & (r < 0.024 * ps), PLANT["p_cred_early"], prepend=True)
-    _plant(rng, text, (r >= 0.024 * ps) & (r < 0.030 * ps), PLANT["p_cred_late"])
-    _plant(rng, text, (r >= 0.030 * ps) & (r < 0.036 * ps), PLANT["p_alpha_omega"])
-    _plant(rng, text, (r >= 0.036 * ps) & (r < 0.040 * ps), PLANT["p_alpha_omega_decoy"])
-    _plant(rng, text, (r >= 0.040 * ps) & (r < 0.044 * ps), PLANT["p_alpha_far"])
-    _plant(rng, text, (r >= 0.044 * ps) & (r < 0.048 * ps), PLANT["p_meta_ssh"])
-    _plant(rng, text, (r >= 0.048 * ps) & (r < 0.051 * ps), PLANT["p_meta_ftp"])
-    _plant(rng, text, (r >= 0.051 * ps) & (r < 0.053 * ps), PLANT["p_meta_telnet"])
-    _plant(rng, text, (r >= 0.053 * ps) & (r < 0.058 * ps), PLANT["p_code_hi"])
-    _plant(rng, text, (r >= 0.058 * ps) & (r < 0.064 * ps), PLANT["p_code_lo"])
-    _plant(rng, text, (r >= 0.064 * ps) & (r < 0.068 * ps), PLANT["p_md5"])
-    _plant(rng, text, (r >= 0.068 * ps) & (r < 0.071 * ps), PLANT["p_sha1_decoy"])
+    _plant(text, ~is_assist & (r < 0.004 * ps), PLANT["p_err_timeout"])
+    _plant(text, (r >= 0.018 * ps) & (r < 0.024 * ps), PLANT["p_cred_early"], prepend=True)
+    _plant(text, (r >= 0.024 * ps) & (r < 0.030 * ps), PLANT["p_cred_late"])
+    _plant(text, (r >= 0.030 * ps) & (r < 0.036 * ps), PLANT["p_alpha_omega"])
+    _plant(text, (r >= 0.036 * ps) & (r < 0.040 * ps), PLANT["p_alpha_omega_decoy"])
+    _plant(text, (r >= 0.040 * ps) & (r < 0.044 * ps), PLANT["p_alpha_far"])
+    _plant(text, (r >= 0.044 * ps) & (r < 0.048 * ps), PLANT["p_meta_ssh"])
+    _plant(text, (r >= 0.048 * ps) & (r < 0.051 * ps), PLANT["p_meta_ftp"])
+    _plant(text, (r >= 0.051 * ps) & (r < 0.053 * ps), PLANT["p_meta_telnet"])
+    _plant(text, (r >= 0.053 * ps) & (r < 0.058 * ps), PLANT["p_code_hi"])
+    _plant(text, (r >= 0.058 * ps) & (r < 0.064 * ps), PLANT["p_code_lo"])
+    _plant(text, (r >= 0.064 * ps) & (r < 0.068 * ps), PLANT["p_md5"])
+    _plant(text, (r >= 0.068 * ps) & (r < 0.071 * ps), PLANT["p_sha1_decoy"])
     blk = np.isin(tool, ["bash", "email"])
-    _plant(rng, text, blk & (r >= 0.071 * ps) & (r < 0.120 * ps), PLANT["p_exec"])
-    _plant(rng, text, ~blk & (r >= 0.071 * ps) & (r < 0.080 * ps), PLANT["p_exec"])  # non-firing: tool not blacklisted
+    _plant(text, blk & (r >= 0.071 * ps) & (r < 0.120 * ps), PLANT["p_exec"])
+    _plant(text, ~blk & (r >= 0.071 * ps) & (r < 0.080 * ps), PLANT["p_exec"])  # non-firing: tool not blacklisted
 
     # correlation plants: dense in the burst convs, sparse elsewhere
-    _plant(rng, text, (bursty & (r >= 0.120 * ps) & (r < 0.50 * ps)) | (~bursty & (r >= 0.120 * ps) & (r < 0.135 * ps)), PLANT["p_retry"])
-    _plant(rng, text, (bursty2 & (r >= 0.50 * ps) & (r < 0.70 * ps)) | (~bursty2 & (r >= 0.50 * ps) & (r < 0.515 * ps)), PLANT["p_refuse"])
-    _plant(rng, text, (r >= 0.70 * ps) & (r < 0.715 * ps), PLANT["p_login_failed"])
-    _plant(rng, text, (r >= 0.715 * ps) & (r < 0.745 * ps), PLANT["p_sudo"])
+    _plant(text, (bursty & (r >= 0.120 * ps) & (r < 0.50 * ps)) | (~bursty & (r >= 0.120 * ps) & (r < 0.135 * ps)), PLANT["p_retry"])
+    _plant(text, (bursty2 & (r >= 0.50 * ps) & (r < 0.70 * ps)) | (~bursty2 & (r >= 0.50 * ps) & (r < 0.515 * ps)), PLANT["p_refuse"])
+    _plant(text, (r >= 0.70 * ps) & (r < 0.715 * ps), PLANT["p_login_failed"])
+    _plant(text, (r >= 0.715 * ps) & (r < 0.745 * ps), PLANT["p_sudo"])
+    # P10/P11 token plants: full connection line (fires 1000014) and a
+    # partial one missing the IP (must NOT fire — required-token check)
+    _plant(text, (r >= 0.745 * ps) & (r < 0.757 * ps), PLANT["p_conn"])
+    _plant(text, (r >= 0.757 * ps) & (r < 0.765 * ps), PLANT["p_conn_partial"])
 
     return pd.DataFrame(
         {

@@ -120,6 +120,47 @@ def _replay_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.DataF
     return pdf.loc[fires]
 
 
+def _replay_role_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.DataFrame:
+    """Replay one hash(role)-partition pre-sorted by (role, ts, conv_id,
+    turn_idx, sid) — the track="role" (Sagan `by_username`) variant of
+    ``_replay_sorted``. Counters are GLOBAL per (role value, sid) across
+    conversations, in event-time order ([PUB src/after.c] keys its mmap
+    table by username the same way). Role-tracked rules cannot carry
+    flexbits (enforced at RuleSet construction), so no per-turn
+    set/check staging is needed. Rows of other sids pass through."""
+    sid = pdf["sid"].to_numpy()
+    key = pdf["role"].to_numpy()
+    ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64") / 1_000_000.0
+    tracked = np.isin(sid, np.fromiter(rules_by_sid.keys(), dtype=np.int64))
+    fires = ~tracked
+    counters: dict[int, tuple[float, int]] = {}  # per current role: sid -> (ws, cnt)
+    cur_key: object = _UNSET
+    for k in np.flatnonzero(tracked):
+        if key[k] != cur_key:
+            counters = {}
+            cur_key = key[k]
+        rule = rules_by_sid[int(sid[k])]
+        t = ts[k]
+        spec = rule.after or rule.threshold
+        ws, cnt = counters.get(rule.sid, (None, 0))
+        if ws is None or t > ws + spec.seconds:
+            ws, cnt = t, 1
+        else:
+            cnt += 1
+        counters[rule.sid] = (ws, cnt)
+        if rule.after is not None:
+            emit = cnt > rule.after.count
+        elif spec.type in ("limit", "suppress"):
+            emit = cnt <= spec.count
+        else:
+            emit = cnt % spec.count == 0
+        fires[k] = emit
+    return pdf.loc[fires]
+
+
+_UNSET = object()
+
+
 def run_correlate(alerts: DataFrame, ruleset: RuleSet, scope: str = "all") -> DataFrame:
     """Apply stateful correlation.
 
@@ -134,12 +175,49 @@ def run_correlate(alerts: DataFrame, ruleset: RuleSet, scope: str = "all") -> Da
     via filter + union. Halves shuffle volume when stateful sids are rare,
     BUT both branches recompute the parent unless the caller persists it —
     use with a persisted upstream for very high alert-volume workloads.
+
+    track="role" rules (Sagan `by_username`) take a SEPARATE branch:
+    their rows repartition by role and replay in (ts, conv_id, turn_idx)
+    order with counters global per (role, sid). Partition count equals
+    track-key cardinality (4 roles here; usernames in a real corpus) —
+    inherent to the semantics, not a plan defect. This branch makes the
+    plan dual-consumer, so callers should persist the upstream
+    (pipeline.build_alerts does this automatically).
     """
-    stateful_sids = [r.sid for r in ruleset.rules if r.stateful]
-    if not stateful_sids:
+    role_rules = {
+        r.sid: r for r in ruleset.rules if r.stateful and r.track == "role"
+    }
+    conv_rules = {
+        r.sid: r for r in ruleset.rules if r.stateful and r.sid not in role_rules
+    }
+    if not role_rules and not conv_rules:
         return alerts
-    rules_by_sid = {r.sid: r for r in ruleset.rules if r.stateful}
     schema = alerts.schema
+
+    if role_rules:
+        role_sids = list(role_rules)
+
+        def replay_role(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts = [b for b in batches if len(b)]
+            if not parts:
+                return
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+            out = _replay_role_sorted(role_rules, pdf)
+            if len(out):
+                yield out
+
+        role_branch = (
+            alerts.filter(alerts.sid.isin(role_sids))
+            .repartition("role")
+            .sortWithinPartitions("role", "ts", "conv_id", "turn_idx", "sid")
+            .mapInPandas(replay_role, schema=schema)
+        )
+        rest = alerts.filter(~alerts.sid.isin(role_sids))
+        conv_branch = run_correlate(rest, RuleSet(tuple(conv_rules.values())), scope)
+        return conv_branch.unionByName(role_branch)
+
+    rules_by_sid = conv_rules
+    stateful_sids = list(conv_rules)
 
     def replay(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Concatenate this partition's Arrow batches: replay is sequential

@@ -25,12 +25,16 @@ def attach_dims(
     role_dim: DataFrame,
     tool_dim: DataFrame,
     risk_ranges: DataFrame,
+    bluedot_dim: DataFrame | None = None,
 ) -> DataFrame:
     """Attach enrichment attributes (origin/trust_level, category/
-    blacklisted, risk_tag). Left joins — never filtering — and all
-    broadcast. ``risk_key`` was computed JVM-side in the match stage."""
+    blacklisted, risk_tag, and J3 bd_category/bd_score when a Bluedot
+    reputation snapshot is supplied). Left joins — never filtering — and
+    all broadcast. ``risk_key`` was computed JVM-side in the match stage."""
     out = alerts.join(F.broadcast(role_dim), on="role", how="left")
     out = out.join(F.broadcast(tool_dim), on="tool", how="left")
+    if bluedot_dim is not None:
+        out = out.join(F.broadcast(bluedot_dim), on="tool", how="left")
     rr = risk_ranges.select("lo", "hi", "risk_tag")
     out = out.join(
         F.broadcast(rr),

@@ -79,6 +79,7 @@ class _FoldedDims:
     role_dim: pd.DataFrame | None = None
     tool_dim: pd.DataFrame | None = None
     risk_ranges: pd.DataFrame | None = None
+    bluedot_dim: pd.DataFrame | None = None  # J3 reputation snapshot (tool-keyed)
 
 
 def _fold_enrich(rule: Rule, dims: _FoldedDims):
@@ -101,14 +102,16 @@ def _fold_enrich(rule: Rule, dims: _FoldedDims):
             else:
                 raise ValueError(f"unsupported role_dim op {ec.op}")
             roles_ok = ok if roles_ok is None else roles_ok & ok
-        elif ec.dim == "tool_dim" and dims.tool_dim is not None:
-            d = dims.tool_dim
+        elif ec.dim in ("tool_dim", "bluedot_dim"):
+            d = dims.tool_dim if ec.dim == "tool_dim" else dims.bluedot_dim
+            if d is None:
+                continue
             if ec.op == "is":
                 ok = set(d.loc[d[ec.fieldname].isin(ec.values), "tool"])
             elif ec.op == "isnot":
                 ok = set(d.loc[~d[ec.fieldname].isin(ec.values), "tool"])
             else:
-                raise ValueError(f"unsupported tool_dim op {ec.op}")
+                raise ValueError(f"unsupported {ec.dim} op {ec.op}")
             tools_ok = ok if tools_ok is None else tools_ok & ok
         elif ec.dim == "risk_ranges" and dims.risk_ranges is not None:
             d = dims.risk_ranges
@@ -202,6 +205,9 @@ def _rule_mask(rule: Rule, pdf: pd.DataFrame, folded) -> np.ndarray:
     for h in rule.hashes:
         if h.required:
             mask &= text.str.contains(compile_re(h.regex)).to_numpy()
+    for tk in rule.tokens:
+        if tk.required:
+            mask &= (text.str.count(tk.regex) >= tk.position).to_numpy()
 
     # exact chain semantics on the (few) remaining candidates
     if has_chain and mask.any():
@@ -216,7 +222,7 @@ def _rule_mask(rule: Rule, pdf: pd.DataFrame, folded) -> np.ndarray:
 def _extract(rule: Rule, sub: pd.DataFrame) -> pd.Series:
     """Vectorized grok/hash extraction for matched rows → Series of dicts."""
     n = len(sub)
-    if not (rule.groks or rule.hashes or rule.defaults):
+    if not (rule.groks or rule.hashes or rule.tokens or rule.defaults):
         return pd.Series([{}] * n, index=sub.index)
     frames: list[pd.DataFrame] = []
     for g in rule.groks:
@@ -228,6 +234,11 @@ def _extract(rule: Rule, sub: pd.DataFrame) -> pd.Series:
         ext = sub["text"].str.extract(rx)
         ext.columns = [h.kind]
         frames.append(ext)
+    for tk in rule.tokens:
+        vals = sub["text"].str.findall(tk.regex).str[tk.position - 1]
+        if tk.kind == "proto":
+            vals = vals.str.lower()
+        frames.append(vals.to_frame(name=tk.field))
     merged = pd.concat(frames, axis=1) if frames else pd.DataFrame(index=sub.index)
     for fname, default in rule.defaults:
         if fname in merged.columns:
@@ -261,7 +272,9 @@ def _field_cond_mask(rule: Rule, extracted: pd.Series) -> np.ndarray:
         elif fc.op == "in":
             mask &= vals.isin(list(fc.value)).fillna(False).to_numpy()  # type: ignore[arg-type]
         elif fc.op == "not_in":
-            mask &= (~vals.isin(list(fc.value))).fillna(False).to_numpy()  # type: ignore[arg-type]
+            # missing field fails BOTH polarities (mirrors rules/eval.py:
+            # raw is None → no match), so notna() guards the negation
+            mask &= (vals.notna() & ~vals.isin(list(fc.value))).to_numpy()  # type: ignore[arg-type]
     return mask
 
 
@@ -359,6 +372,10 @@ def _java_safe_pcre(p) -> bool:
 def native_compilable(rule: Rule) -> bool:
     if rule.groks or rule.field_conds:
         return False
+    # optional (required=False) tokens stay on the UDF path: the native map
+    # would carry a key→NULL entry where the oracle omits the key entirely
+    if any(not tk.required for tk in rule.tokens):
+        return False
     if any(not _java_safe_pcre(p) for p in rule.pcres):
         return False
     if any(c.relative for c in rule.contents):
@@ -426,6 +443,12 @@ def _native_cond(rule: Rule, folded) -> F.Column:
     for h in rule.hashes:
         if h.required:
             cond = cond & F.col("text").rlike(h.regex)
+    for tk in rule.tokens:
+        if tk.required:
+            cond = cond & (
+                F.size(F.regexp_extract_all("text", F.lit(tk.regex), tk.group))
+                >= tk.position
+            )
     return cond
 
 
@@ -433,8 +456,13 @@ def _native_extracted(rule: Rule) -> F.Column:
     entries: list[F.Column] = []
     for h in rule.hashes:
         entries += [F.lit(h.kind), F.regexp_extract("text", h.regex, 0)]
-    for fname, default in rule.defaults:
-        entries += [F.lit(fname), F.lit(default)]
+    for tk in rule.tokens:
+        val = F.try_element_at(
+            F.regexp_extract_all("text", F.lit(tk.regex), tk.group), F.lit(tk.position)
+        )
+        if tk.kind == "proto":
+            val = F.lower(val)
+        entries += [F.lit(tk.field), val]
     if not entries:
         return F.create_map().cast("map<string,string>")
     return F.map_from_arrays(
@@ -493,9 +521,9 @@ def _prepare(df: DataFrame) -> DataFrame:
 
 def _get_dims(fold_dims: bool) -> _FoldedDims:
     if fold_dims:
-        from ..datagen.dims import RISK_RANGES, ROLE_DIM, TOOL_DIM
+        from ..datagen.dims import BLUEDOT_DIM, RISK_RANGES, ROLE_DIM, TOOL_DIM
 
-        return _FoldedDims(ROLE_DIM, TOOL_DIM, RISK_RANGES)
+        return _FoldedDims(ROLE_DIM, TOOL_DIM, RISK_RANGES, BLUEDOT_DIM)
     return _FoldedDims()
 
 

@@ -76,10 +76,15 @@ def build_alerts(
         dimsmod.role_dim(spark),
         dimsmod.tool_dim(spark),
         dimsmod.risk_ranges(spark),
+        dimsmod.bluedot_dim(spark) if not fold_dims else None,
     )
     if not fold_dims:
         enriched = enrich.apply_enrich_filters(enriched, ruleset)
-    if persist_intermediate and any(r.stateful for r in ruleset.rules):
+    # role-tracked (by_username) rules split the plan into a conv-keyed and
+    # a role-keyed replay branch — dual consumers of the match subtree, so
+    # persist it (MapInPandas subtrees are never exchange-reuse-deduped).
+    has_role_track = any(r.stateful and r.track == "role" for r in ruleset.rules)
+    if (persist_intermediate or has_role_track) and any(r.stateful for r in ruleset.rules):
         enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
     correlated = correlate.run_correlate(enriched, ruleset, scope=correlate_scope)
     return route.attach_rule_meta(correlated, ruleset)

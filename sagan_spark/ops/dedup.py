@@ -66,11 +66,23 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 2
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing at least one LSH band.
 
     Shuffle key = (band_idx, band_hash); self-join happens per bucket.
+
+    ``max_bucket`` caps the per-bucket pair blow-up: a degenerate bucket
+    (empty/boilerplate docs all sharing one band hash) costs O(|bucket|²)
+    pairs — at 10^9 docs a single 10^6-doc bucket alone is 10^12 pairs.
+    Buckets larger than the cap are DROPPED from candidate generation
+    (their members are near-identical boilerplate, which exact dedup
+    already collapses); use lsh_bucket_stats to surface how many buckets/
+    docs a given cap drops instead of silently truncating. None = uncapped.
     """
     banded = sig.select(
         F.col(id_col),
@@ -81,6 +93,15 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    if max_bucket is not None:
+        # one extra groupBy on the SAME shuffle key as the self-join; the
+        # count re-joins broadcast-free because it shares partitioning
+        w_cnt = banded.groupBy("band_idx", "band_hash").agg(
+            F.count("*").alias("_bucket_n")
+        )
+        banded = banded.join(w_cnt, on=["band_idx", "band_hash"]).where(
+            F.col("_bucket_n") <= max_bucket
+        ).drop("_bucket_n")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -92,6 +113,38 @@ def lsh_candidate_pairs(
         )
         .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
         .distinct()
+    )
+
+
+def lsh_bucket_stats(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Observability for the bucket cap: one row with total buckets,
+    over-cap (dropped) buckets, and docs touching a dropped bucket —
+    the 'no silent caps' companion to lsh_candidate_pairs."""
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws("|", F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    cap = F.lit(max_bucket if max_bucket is not None else (1 << 62))
+    per_bucket = banded.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("n"), F.countDistinct(id_col).alias("docs")
+    )
+    return per_bucket.agg(
+        F.count("*").alias("buckets"),
+        F.sum(F.when(F.col("n") > cap, 1).otherwise(0)).cast("long").alias("dropped_buckets"),
+        F.sum(F.when(F.col("n") > cap, F.col("docs")).otherwise(0)).cast("long").alias(
+            "docs_in_dropped"
+        ),
     )
 
 

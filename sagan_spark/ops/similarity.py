@@ -7,13 +7,15 @@
   global top-k (TakeOrderedAndProject — no full sort, no shuffle of the
   data, only of k-row per-partition heads).
 - lsh_bucketed_topk(): the scale path — random-hyperplane LSH signature
-  per vector (sign of dot with h fixed seeded hyperplanes); candidates
-  share the query's bucket (multi-probe: allow ≤1 differing bit), exact
-  cosine re-rank inside. At 10^9 vectors the bucket prune replaces a
-  full scan with a hash-partition lookup.
-- ivf_topk(): IVF-style alternative — k-means-lite centroids sampled
-  deterministically, vectors assigned to nearest centroid (one pass);
-  query probes the nearest ``nprobe`` centroids only.
+  per vector (sign of dot with nbits fixed seeded hyperplanes);
+  candidates lie within hamming ``radius`` of the query's bucket
+  (multi-probe), exact cosine re-rank inside. At 10^9 vectors the bucket
+  prune replaces a full scan with a hash-partition lookup.
+- ivf_topk(): IVF-style alternative — deterministic md5-order centroid
+  sample, vectors assigned to the argmax-similar centroid via a broadcast
+  centroid array (constant plan depth at any ncentroids); query probes
+  the nearest ``nprobe`` cells only.
+Both approximate paths are recall-tested against brute_topk (tests/).
 """
 
 from __future__ import annotations
@@ -77,20 +79,45 @@ def lsh_bucketed_topk(
     emb: DataFrame,
     q: list[float],
     k: int = 10,
-    nbits: int = 8,
+    nbits: int = 16,
+    radius: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: prune to vectors whose LSH bucket is within
-    hamming distance 1 of the query's bucket, exact re-rank inside."""
+    hamming distance ``radius`` of the query's bucket (multi-probe),
+    exact re-rank inside.
+
+    Parameter guidance: candidate fraction ≈ Σ_{i≤radius} C(nbits,i)/2^nbits
+    — pick radius so E[candidates] ≳ 10·k at the corpus size. At 10^9
+    vectors nbits=16 + radius 1-2 already yields thousands of candidates;
+    the defaults here (radius=6 ≈ 23% of buckets) suit the small bench
+    corpora while exercising the identical plan. The recall floor is
+    asserted in tests/test_ops (recall@k vs brute_topk)."""
     planes = _hyperplanes(len(q), nbits)
     qsig = 0
     for i, p in enumerate(planes):
         if float(np.dot(q, p)) >= 0:
             qsig |= 1 << i
     with_sig = emb.withColumn("_sig", lsh_signature(F.col(vec_col), planes))
-    pruned = with_sig.where(F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= 1)
+    pruned = with_sig.where(F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= radius)
     return brute_topk(pruned.drop("_sig"), q, k, id_col, vec_col)
+
+
+def select_centroids(
+    emb: DataFrame, ncentroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic, cross-engine-reproducible centroid sample: the
+    ncentroids rows with smallest md5(id) (portable — DuckDB/Spark md5 of
+    the decimal id string agree byte-for-byte). k-means refinement would
+    slot in here without touching the query shape."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.encode(F.col(id_col).cast("string"), "utf-8")), id_col)
+        .limit(ncentroids)
+        .collect()
+    )
+    return [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in rows]
 
 
 def ivf_topk(
@@ -102,28 +129,40 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: centroids = deterministic sample of the corpus
-    (vec_id hash order); assign each vector to its nearest centroid via a
-    broadcasted centroid literal; probe the nprobe centroids nearest the
-    query; exact re-rank within probed cells."""
-    cent_rows = (
-        emb.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
-        .limit(ncentroids)
-        .collect()
-    )
-    cents = [list(map(float, r[vec_col])) for r in cent_rows]
-    qsims = [
-        float(np.dot(q, c) / (np.linalg.norm(q) * np.linalg.norm(c) + 1e-12)) for c in cents
-    ]
-    probe = sorted(range(len(cents)), key=lambda i: -qsims[i])[:nprobe]
+    """IVF-style ANN: deterministic centroid sample (see select_centroids);
+    each vector is assigned to its nearest centroid by an argmax computed
+    as ``array_max(transform(centroid_array, …))`` over a BROADCAST
+    single-row centroid table — constant plan depth and zero shuffle at
+    any ncentroids (the round-1 per-centroid when-chain exploded the plan
+    at realistic ncentroids ≈ √n). Query probes the ``nprobe`` nearest
+    cells; exact re-rank inside.
 
-    assign = F.lit(0)
-    best = F.lit(-2.0)
-    for i, c in enumerate(cents):
-        s = cosine(F.col(vec_col), _qlit(c))
-        assign = F.when(s > best, F.lit(i)).otherwise(assign)
-        best = F.greatest(best, s)
-    cell = emb.withColumn("_cell", assign)
-    pruned = cell.where(F.col("_cell").isin(probe)).drop("_cell")
+    Tie-break: (similarity, centroid id) lexicographic max — mirrored
+    exactly by the SQL oracle's ORDER BY sim DESC, cid DESC."""
+    cents = select_centroids(emb, ncentroids, id_col, vec_col)
+    spark = emb.sparkSession
+    cents_df = spark.createDataFrame(
+        [([(c, v) for c, v in cents],)],
+        "cents: array<struct<cid: int, vec: array<double>>>",
+    )
+    qn = float(np.linalg.norm(q))
+    probe = sorted(
+        cents, key=lambda cv: (-float(np.dot(q, cv[1]) / (qn * np.linalg.norm(cv[1]))), -cv[0])
+    )[:nprobe]
+    probe_ids = [c for c, _ in probe]
+
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                cosine(F.col(vec_col), c["vec"]).alias("s"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    cell = (
+        emb.crossJoin(F.broadcast(cents_df))
+        .withColumn("_cell", best["cid"])
+        .drop("cents")
+    )
+    pruned = cell.where(F.col("_cell").isin(probe_ids)).drop("_cell")
     return brute_topk(pruned, q, k, id_col, vec_col)

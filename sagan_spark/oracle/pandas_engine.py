@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 
-from ..datagen.dims import RISK_RANGES, ROLE_DIM, TOOL_DIM
+from ..datagen.dims import BLUEDOT_DIM, RISK_RANGES, ROLE_DIM, TOOL_DIM
 from ..rules.eval import match_stateless
 from ..rules.model import Rule, RuleSet
 
@@ -40,6 +40,7 @@ def _risk_tag(key: int) -> str | None:
 
 _ROLE = ROLE_DIM.set_index("role").to_dict("index")
 _TOOL = TOOL_DIM.set_index("tool").to_dict("index")
+_BLUEDOT = BLUEDOT_DIM.set_index("tool").to_dict("index")
 
 
 def _enrich_pass(rule: Rule, row: dict) -> bool:
@@ -48,6 +49,8 @@ def _enrich_pass(rule: Rule, row: dict) -> bool:
             val = _ROLE.get(row["role"], {}).get(ec.fieldname)
         elif ec.dim == "tool_dim":
             val = _TOOL.get(row["tool"], {}).get(ec.fieldname)
+        elif ec.dim == "bluedot_dim":
+            val = _BLUEDOT.get(row["tool"], {}).get(ec.fieldname)
         elif ec.dim == "risk_ranges":
             val = row["risk_tag"]
         else:
@@ -110,12 +113,66 @@ def format_line(a: dict, sink: str) -> str:
     raise ValueError(sink)
 
 
+def _role_track_decisions(df: pd.DataFrame, rules: tuple[Rule, ...]) -> dict:
+    """Pre-pass for track="role" (by_username) after/threshold rules:
+    counters are GLOBAL per (role, sid) and replay in (ts, conv_id,
+    turn_idx) order across conversations. Returns {(row_label, sid): emit}
+    consulted by the main loop (which stays in (conv_id, turn_idx) order
+    for everything else). Role-tracked rules cannot carry flexbits
+    (RuleSet validation), so stateless+enrich outcomes fully determine the
+    event stream here."""
+    decisions: dict[tuple[int, int], bool] = {}
+    role_rules = [r for r in rules if r.stateful and r.track == "role"]
+    if not role_rules:
+        return decisions
+    events: list[tuple] = []  # (role_key, t, conv_id, turn_idx, sid, row_label)
+    for i, row in df.iterrows():
+        ts: pd.Timestamp = row["ts"]
+        hour, dow = ts.hour, ts.weekday() + 1
+        rk = risk_key(row["conv_id"])
+        rrow = {
+            "role": row["role"],
+            "tool": row["tool"],
+            "risk_tag": _risk_tag(rk),
+        }
+        for rule in role_rules:
+            if match_stateless(rule, row["text"], row["role"], row["tool"], hour, dow) is None:
+                continue
+            if not _enrich_pass(rule, rrow):
+                continue
+            events.append(
+                (row["role"] or "", ts.value / 1e9, row["conv_id"], int(row["turn_idx"]), rule.sid, i)
+            )
+    events.sort(key=lambda e: e[:5])
+    counters: dict[tuple[str, int], tuple[float, int]] = {}
+    by_sid = {r.sid: r for r in role_rules}
+    for key, t, _conv, _turn, sid, label in events:
+        rule = by_sid[sid]
+        spec = rule.after or rule.threshold
+        ws, cnt = counters.get((key, sid), (None, 0))
+        if ws is None or t > ws + spec.seconds:
+            ws, cnt = t, 1
+        else:
+            cnt += 1
+        counters[(key, sid)] = (ws, cnt)
+        if rule.after is not None:
+            emit = cnt > rule.after.count
+        elif spec.type in ("limit", "suppress"):
+            emit = cnt <= spec.count
+        else:
+            emit = cnt % spec.count == 0
+        decisions[(label, sid)] = emit
+    return decisions
+
+
 def run_oracle(df: pd.DataFrame, ruleset: RuleSet) -> OracleResult:
     """Evaluate the full pipeline sequentially over a transcript frame."""
     df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
     rules = ruleset.rules
     states: dict[str, _ConvState] = {}
     alerts: list[dict] = []
+    role_decisions = _role_track_decisions(df, rules)
+    role_sids = {r.sid for r in rules if r.stateful and r.track == "role"}
 
     conv_ids = df["conv_id"].to_numpy()
     turn_idxs = df["turn_idx"].to_numpy()
@@ -166,7 +223,9 @@ def run_oracle(df: pd.DataFrame, ruleset: RuleSet) -> OracleResult:
                 continue
             emit = True
             spec = rule.after or rule.threshold
-            if spec is not None:
+            if rule.sid in role_sids:
+                emit = role_decisions[(i, rule.sid)]
+            elif spec is not None:
                 ws, cnt = st.counters.get(rule.sid, (None, 0))
                 if ws is None or t > ws + spec.seconds:
                     ws, cnt = t, 1

@@ -21,6 +21,7 @@ from .model import (
     Rule,
     RuleSet,
     ThresholdSpec,
+    TokenSpec,
 )
 
 CANONICAL = RuleSet(
@@ -134,6 +135,22 @@ CANONICAL = RuleSet(
             rule_class="escalation",
             contents=(ContentSpec("sudo"),),
             flexbits=(FlexbitSpec("isset", "auth_fail"),),
+        ),
+        # P10/P11: parse_src_ip / parse_port / parse_proto token extraction
+        # ([PUB src/parsers/parse-ip.c]); the partial plant (no IP) must not
+        # fire — required-token semantics. Native-compilable: pure Column
+        # regexp_extract_all path, no Python.
+        Rule(
+            sid=1000014,
+            msg="connection endpoint parsed",
+            sink="syslog",
+            rule_class="net",
+            contents=(ContentSpec("connection from"),),
+            tokens=(
+                TokenSpec("src_ip", "ip", 1),
+                TokenSpec("port", "port", 1),
+                TokenSpec("proto", "proto", 1),
+            ),
         ),
         # flexbit setter (noalert, Sagan idiom): sets auth_fail for 900s
         Rule(

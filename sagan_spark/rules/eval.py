@@ -116,6 +116,14 @@ def match_stateless(rule: Rule, text: str, role: str, tool: str, hour: int, dow:
                 return None
         else:
             extracted[h.kind] = mo.group(0)
+    for tk in rule.tokens:
+        found = compile_re(tk.regex).findall(text)
+        if len(found) < tk.position:
+            if tk.required:
+                return None
+        else:
+            val = found[tk.position - 1]
+            extracted[tk.field] = val.lower() if tk.kind == "proto" else val
     for fname, default in rule.defaults:
         extracted.setdefault(fname, default)
 

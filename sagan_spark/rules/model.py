@@ -103,8 +103,46 @@ class HashSpec:
 
 
 @dataclass(frozen=True)
+class TokenSpec:
+    """parse_src_ip / parse_dst_ip / parse_port / parse_proto
+    ([PUB src/parsers/parse-ip.c, parse-port.c, parse-proto.c], P10/P11).
+
+    Extract the ``position``-th (1-based) occurrence of a token class from
+    text into ``extracted[field]``:
+    - kind "ip":    dotted-quad IPv4 literal (word-bounded)
+    - kind "port":  the digits of ``port <n>`` / ``port:<n>``
+    - kind "proto": tcp|udp|icmp keyword, normalized to lowercase
+    ``required``: the rule fails when fewer than ``position`` occurrences
+    exist. Regexes live in the Java/Python-common subset so the native
+    Column path (regexp_extract_all + try_element_at) and the Python paths
+    agree byte-for-byte."""
+
+    field: str  # extracted-map key, e.g. "src_ip"
+    kind: str  # "ip" | "port" | "proto"
+    position: int = 1
+    required: bool = True
+
+    @property
+    def regex(self) -> str:
+        return {
+            "ip": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+            "port": r"\bport[ :](\d{1,5})\b",
+            "proto": r"(?i)\b(?:tcp|udp|icmp)\b",
+        }[self.kind]
+
+    @property
+    def group(self) -> int:
+        """Capture-group index carrying the value (0 = whole match)."""
+        return 1 if self.kind == "port" else 0
+
+
+@dataclass(frozen=True)
 class FieldCond:
-    """Numeric/set condition on an extracted field (drives P13 firing)."""
+    """Numeric/set condition on an extracted field (drives P13 firing).
+
+    Missing field fails BOTH polarities: a row whose extracted map lacks
+    ``name`` never matches, even for op "not_in" (rules/eval.py is the
+    source of truth; engine/match._field_cond_mask mirrors it)."""
 
     name: str
     op: str  # ">=", ">", "<=", "<", "==", "in", "not_in"
@@ -204,6 +242,7 @@ class Rule:
     meta_contents: tuple[MetaContentSpec, ...] = ()
     groks: tuple[GrokSpec, ...] = ()
     hashes: tuple[HashSpec, ...] = ()
+    tokens: tuple[TokenSpec, ...] = ()  # P10/P11 parse_src_ip/port/proto
     field_conds: tuple[FieldCond, ...] = ()
     defaults: tuple[tuple[str, str], ...] = ()  # P14: (field, default) pairs
     alert_time: AlertTime | None = None
@@ -214,16 +253,65 @@ class Rule:
 
     @property
     def has_text_pred(self) -> bool:
-        return bool(self.contents or self.pcres or self.meta_contents or self.groks or self.hashes)
+        return bool(
+            self.contents
+            or self.pcres
+            or self.meta_contents
+            or self.groks
+            or self.hashes
+            or self.tokens
+        )
 
     @property
     def stateful(self) -> bool:
         return self.after is not None or self.threshold is not None or bool(self.flexbits)
 
+    @property
+    def track(self) -> str | None:
+        """Counter track key of the after/threshold spec, if any."""
+        spec = self.after or self.threshold
+        return spec.track if spec is not None else None
+
 
 @dataclass(frozen=True)
 class RuleSet:
+    """Validated rule collection.
+
+    Construction-time checks (loud failure beats silent wrong answers):
+    - after/threshold track must be "conv_id" or "role"; role-tracked
+      counters are GLOBAL per role value (replayed in ts order across
+      conversations — see engine/correlate.run_correlate), so a
+      role-tracked rule may not also use flexbits (which are per-conv).
+    - depends_on may not reference a noalert sid in the same set: dynamic
+      enablement is derived from *emitted* alerts, and a state-only parent
+      never emits ([PUB src/processors/dynamic-rules.c] reads the output
+      stream too).
+    """
+
     rules: tuple[Rule, ...]
+
+    def __post_init__(self) -> None:
+        by_sid = {r.sid: r for r in self.rules}
+        for r in self.rules:
+            spec = r.after or r.threshold
+            if spec is not None:
+                if spec.track not in ("conv_id", "role"):
+                    raise ValueError(
+                        f"sid {r.sid}: unsupported track {spec.track!r} "
+                        "(conv_id and role are implemented)"
+                    )
+                if spec.track == "role" and r.flexbits:
+                    raise ValueError(
+                        f"sid {r.sid}: role-tracked after/threshold cannot be "
+                        "combined with flexbits (per-conv state)"
+                    )
+            if r.depends_on is not None:
+                parent = by_sid.get(r.depends_on)
+                if parent is not None and parent.noalert:
+                    raise ValueError(
+                        f"sid {r.sid}: depends_on references noalert sid "
+                        f"{r.depends_on}, which never emits alerts"
+                    )
 
     def by_sid(self) -> dict[int, Rule]:
         return {r.sid: r for r in self.rules}

@@ -7,8 +7,9 @@ Grammar (the Sagan dialect subset our engine supports):
         content:"error"; nocase; offset:0; depth:30; \
         content:"omega"; distance:1; within:40; content:!"decoy"; \
         pcre:"/tool\\s+timeout/i"; meta_content:"%sagan%",ssh,ftp,telnet; \
-        normalize:"code=(?P<code>\\d+)"; field:code>=500; \
-        parse_hash:md5; alert_time:8-18; \
+        normalize:"code=(?P<code>\\d+)"; field:code>=500; field:proto in tcp|udp; \
+        parse_hash:md5; parse_src_ip:1; parse_port; parse_proto; \
+        level:1|2; alert_time:8-18; \
         after:track by_src, count 5, seconds 300; \
         threshold:type limit, track by_src, count 2, seconds 600; \
         flexbits:set,auth_fail,900; flexbits:isset,auth_fail; \
@@ -40,7 +41,18 @@ from .model import (
     Rule,
     RuleSet,
     ThresholdSpec,
+    TokenSpec,
 )
+
+# parse_src_ip / parse_dst_ip / parse_port / parse_proto rule keywords
+# ([PUB src/parsers/parse-ip.c, parse-port.c, parse-proto.c], P10/P11):
+# keyword → (extracted field, token kind)
+_TOKEN_KW = {
+    "parse_src_ip": ("src_ip", "ip"),
+    "parse_dst_ip": ("dst_ip", "ip"),
+    "parse_port": ("port", "port"),
+    "parse_proto": ("proto", "proto"),
+}
 
 _HEADER = re.compile(r"^\s*alert\s+\S+\s+\S+\s*->\s*\S+\s+\S+\s*\((.*)\)\s*$", re.DOTALL)
 _TRACK = {"by_src": "conv_id", "by_dst": "conv_id", "by_both": "conv_id", "by_username": "role"}
@@ -107,6 +119,7 @@ def parse_rule(line: str) -> Rule:
     metas: list[MetaContentSpec] = []
     groks: list[GrokSpec] = []
     hashes: list[HashSpec] = []
+    tokens: list[TokenSpec] = []
     fields: list[FieldCond] = []
     flex: list[FlexbitSpec] = []
     enrich: list[EnrichCond] = []
@@ -179,11 +192,27 @@ def parse_rule(line: str) -> Rule:
             groks.append(GrokSpec(_unquote(v)))
         elif k == "parse_hash":
             hashes.append(HashSpec(_unquote(v)))
+        elif k in _TOKEN_KW:
+            fieldname, kind = _TOKEN_KW[k]
+            tokens.append(TokenSpec(fieldname, kind, position=int(v) if v else 1))
+        elif k == "level":
+            # level:0|1|2 — syslog level/priority prefilter (P2). Payload
+            # transposition: level ↔ role_dim.trust_level (a total function
+            # of role, so it constant-folds into the role membership mask
+            # exactly like facility→tool).
+            levels = tuple(int(x) for x in _unquote(v).split("|"))
+            enrich.append(EnrichCond("role_dim", "trust_level", "is", levels))
         elif k == "field":
             fm = re.match(r"(\w+)\s*(>=|<=|==|>|<)\s*(\S+)", v)
-            if not fm:
-                raise ValueError(f"bad field condition {v!r}")
-            fields.append(FieldCond(fm.group(1), fm.group(2), float(fm.group(3))))
+            if fm:
+                fields.append(FieldCond(fm.group(1), fm.group(2), float(fm.group(3))))
+            else:
+                fm = re.match(r"(\w+)\s+(in|not_in)\s+(\S+)", v)
+                if not fm:
+                    raise ValueError(f"bad field condition {v!r}")
+                fields.append(
+                    FieldCond(fm.group(1), fm.group(2), tuple(fm.group(3).split("|")))
+                )
         elif k == "default":
             name, _, val = v.partition("=")
             defaults.append((name.strip(), val.strip()))
@@ -229,6 +258,7 @@ def parse_rule(line: str) -> Rule:
         meta_contents=tuple(metas),
         groks=tuple(groks),
         hashes=tuple(hashes),
+        tokens=tuple(tokens),
         field_conds=tuple(fields),
         defaults=tuple(defaults),
         flexbits=tuple(flex),

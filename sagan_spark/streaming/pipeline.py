@@ -138,10 +138,14 @@ def _make_state_fn(ruleset: RuleSet, out_cols: list[str]):
             bits = {k: tuple(v) for k, v in blob["bits"].items()}
         else:
             counters, bits = {}, {}
+        # Accumulate ALL Arrow chunks for this key first: a micro-batch may
+        # deliver one group as several chunks with no cross-chunk ordering
+        # guarantee, and replay is order-sensitive — concat, then ONE
+        # sort + replay (mirrors engine/correlate's concat-then-sort).
+        parts = [pdf for pdf in pdfs if len(pdf)]
         outs = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        if parts:
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
             keep = _replay_batch_incremental(rules_by_sid, pdf, counters, bits)
             if keep:
                 outs.append(pdf.loc[keep, out_cols])
@@ -162,6 +166,11 @@ def build_stream(
     from ..packaging import ensure_shipped
 
     ensure_shipped(spark)
+    if any(r.stateful and r.track == "role" for r in ruleset.rules):
+        # GroupState here is keyed by conv_id; global per-role counters
+        # would need a second applyInPandasWithState keyed by role — loud
+        # rejection beats silently-wrong scoping (batch path supports it).
+        raise NotImplementedError("track=role rules are batch-only for now")
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -32,6 +32,7 @@ def test_fixture_has_firing_and_suppressed_cases(oracle, tiny_pdf):
     for sid in (
         1000001, 1000002, 1000003, 1000004, 1000005, 1000006,
         1000007, 1000008, 1000009, 1000010, 1000011, 1000012,
+        1000014,
     ):
         assert oracle.sid_counts.get(sid, 0) > 0, f"sid {sid} never fires"
     # … and the stateful rules also SUPPRESS at least once (oracle alert

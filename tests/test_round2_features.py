@@ -1,0 +1,271 @@
+"""Round-2 feature tests: track=role correlation, not_in null semantics,
+token keywords, level: prefilter, Bluedot dim, RuleSet validation, and the
+datagen chunk-invariance contract.
+
+All golden expectations come from the pandas oracle (never hand-maintained),
+keeping these differential like the rest of the suite.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from sagan_spark.engine import pipeline
+from sagan_spark.oracle.pandas_engine import run_oracle
+from sagan_spark.rules.model import (
+    AfterSpec,
+    ContentSpec,
+    EnrichCond,
+    FieldCond,
+    FlexbitSpec,
+    GrokSpec,
+    Rule,
+    RuleSet,
+    ThresholdSpec,
+)
+
+
+def _diff(spark, tiny_path, tiny_pdf, ruleset):
+    """Run engine + oracle on the tiny fixture, assert per-sid counts and
+    routed (conv, turn, sid) sets are equal; return the oracle result."""
+    res = pipeline.run(spark, tiny_path, ruleset)
+    ora = run_oracle(tiny_pdf, ruleset)
+    assert res.sid_counts == ora.sid_counts
+    got = {
+        (r.conv_id, r.turn_idx, r.sid)
+        for r in res.alerts.select("conv_id", "turn_idx", "sid").collect()
+    }
+    want = {(a["conv_id"], a["turn_idx"], a["sid"]) for a in ora.alerts}
+    assert got == want
+    res.unpersist()
+    return ora
+
+
+# ---------------------------------------------------------------------------
+# track="role" (by_username) correlation — global per-role reset windows
+# ---------------------------------------------------------------------------
+
+
+def test_after_track_role_differential(spark, tiny_path, tiny_pdf):
+    rs = RuleSet(
+        (
+            Rule(
+                sid=2000001,
+                msg="role-wide retry storm",
+                sink="fast",
+                contents=(ContentSpec("retry"),),
+                after=AfterSpec(track="role", count=3, seconds=600),
+            ),
+        )
+    )
+    ora = _diff(spark, tiny_path, tiny_pdf, rs)
+    assert ora.sid_counts.get(2000001, 0) > 0, "role-tracked rule never fires"
+
+
+def test_threshold_track_role_differential(spark, tiny_path, tiny_pdf):
+    rs = RuleSet(
+        (
+            Rule(
+                sid=2000002,
+                msg="role-wide refusal limit",
+                sink="eve",
+                contents=(ContentSpec("refus", nocase=True),),
+                threshold=ThresholdSpec(type="limit", track="role", count=2, seconds=900),
+            ),
+        )
+    )
+    ora = _diff(spark, tiny_path, tiny_pdf, rs)
+    n = ora.sid_counts.get(2000002, 0)
+    assert n > 0
+    # limit with a tight window over the whole role population must suppress
+    raw = sum("refus" in (t or "").lower() for t in tiny_pdf["text"])
+    assert n < raw, "role-tracked limit never suppressed anything"
+
+
+def test_track_role_mixed_with_conv_rules(spark, tiny_path, tiny_pdf):
+    """Role-tracked, conv-tracked and flexbit rules coexist in one set."""
+    rs = RuleSet(
+        (
+            Rule(
+                sid=2000003,
+                msg="role retry",
+                sink="fast",
+                contents=(ContentSpec("retry"),),
+                after=AfterSpec(track="role", count=3, seconds=600),
+            ),
+            Rule(
+                sid=2000004,
+                msg="conv retry",
+                sink="fast",
+                contents=(ContentSpec("retry"),),
+                after=AfterSpec(track="conv_id", count=5, seconds=300),
+            ),
+            Rule(
+                sid=2000005,
+                msg="sudo after failed login",
+                sink="eve",
+                contents=(ContentSpec("sudo"),),
+                flexbits=(FlexbitSpec("isset", "auth_fail"),),
+            ),
+            Rule(
+                sid=2000006,
+                msg="login failed setter",
+                sink="fast",
+                noalert=True,
+                contents=(ContentSpec("login failed"),),
+                flexbits=(FlexbitSpec("set", "auth_fail", expire=900),),
+            ),
+        )
+    )
+    ora = _diff(spark, tiny_path, tiny_pdf, rs)
+    for sid in (2000003, 2000004, 2000005):
+        assert ora.sid_counts.get(sid, 0) > 0, sid
+
+
+# ---------------------------------------------------------------------------
+# FieldCond not_in: missing extracted field fails both polarities
+# ---------------------------------------------------------------------------
+
+
+def test_field_not_in_missing_field_semantics(spark, tiny_path, tiny_pdf):
+    rs = RuleSet(
+        (
+            Rule(
+                sid=2000010,
+                msg="non-204 status code",
+                sink="fast",
+                groks=(GrokSpec(r"code=(?P<code>\d+)", required=False),),
+                field_conds=(FieldCond("code", "not_in", ("204",)),),
+                # fast_pattern so the UDF prefilter doesn't drop no-code rows
+                # before the semantics under test are exercised
+                fast_pattern=("e", False),
+            ),
+        )
+    )
+    ora = _diff(spark, tiny_path, tiny_pdf, rs)
+    n = ora.sid_counts.get(2000010, 0)
+    assert n > 0
+    # rows WITHOUT any code= must not alert (missing field fails not_in)
+    has_code = tiny_pdf["text"].str.contains("code=", regex=False).sum()
+    assert n <= has_code
+
+
+# ---------------------------------------------------------------------------
+# level: prefilter and Bluedot dim (P2 / J3)
+# ---------------------------------------------------------------------------
+
+
+def test_level_prefilter_differential(spark, tiny_path, tiny_pdf):
+    from sagan_spark.rules.parser import parse_rule
+
+    rule = parse_rule(
+        'alert any any -> any any (msg:"low-trust retry"; sid:2000020; '
+        'content:"retry"; level:0|2; sink:fast;)'
+    )
+    assert rule.enrich[0].values == (0, 2)
+    rs = RuleSet((rule,))
+    ora = _diff(spark, tiny_path, tiny_pdf, rs)
+    n = ora.sid_counts.get(2000020, 0)
+    assert n > 0
+    # trust_level 0|2 ↔ roles system|tool only
+    roles = {a["role"] for a in ora.alerts}
+    assert roles <= {"system", "tool"}
+
+
+def test_bluedot_dim_differential(spark, tiny_path, tiny_pdf):
+    rs = RuleSet(
+        (
+            Rule(
+                sid=2000021,
+                msg="exec via mal-reputation tool",
+                sink="eve",
+                contents=(ContentSpec("exec"),),
+                enrich=(EnrichCond("bluedot_dim", "bd_category", "is", ("mal",)),),
+            ),
+        )
+    )
+    ora = _diff(spark, tiny_path, tiny_pdf, rs)
+    assert ora.sid_counts.get(2000021, 0) > 0
+    assert {a["tool"] for a in ora.alerts} == {"bash"}
+
+
+def test_bluedot_unfolded_path(spark, tiny_path, tiny_pdf):
+    """fold_dims=False exercises the broadcast join + post-join filter."""
+    rs = RuleSet(
+        (
+            Rule(
+                sid=2000022,
+                msg="exec via mal-reputation tool",
+                sink="eve",
+                contents=(ContentSpec("exec"),),
+                enrich=(EnrichCond("bluedot_dim", "bd_category", "is", ("mal",)),),
+            ),
+        )
+    )
+    res = pipeline.run(spark, tiny_path, rs, fold_dims=False)
+    ora = run_oracle(tiny_pdf, rs)
+    assert res.sid_counts == ora.sid_counts
+    res.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# RuleSet construction-time validation
+# ---------------------------------------------------------------------------
+
+
+def test_ruleset_rejects_unknown_track():
+    with pytest.raises(ValueError, match="unsupported track"):
+        RuleSet(
+            (
+                Rule(
+                    sid=1,
+                    msg="x",
+                    sink="fast",
+                    after=AfterSpec(track="mystery", count=1, seconds=60),
+                ),
+            )
+        )
+
+
+def test_ruleset_rejects_role_track_with_flexbits():
+    with pytest.raises(ValueError, match="flexbits"):
+        RuleSet(
+            (
+                Rule(
+                    sid=1,
+                    msg="x",
+                    sink="fast",
+                    after=AfterSpec(track="role", count=1, seconds=60),
+                    flexbits=(FlexbitSpec("isset", "b"),),
+                ),
+            )
+        )
+
+
+def test_ruleset_rejects_depends_on_noalert_parent():
+    with pytest.raises(ValueError, match="noalert"):
+        RuleSet(
+            (
+                Rule(sid=1, msg="parent", sink="fast", noalert=True,
+                     contents=(ContentSpec("x"),)),
+                Rule(sid=2, msg="child", sink="fast", depends_on=1,
+                     contents=(ContentSpec("y"),)),
+            )
+        )
+
+
+# ---------------------------------------------------------------------------
+# datagen chunk-invariance contract (CLAUDE.md invariant, now true)
+# ---------------------------------------------------------------------------
+
+
+def test_gen_chunk_boundary_invariance():
+    from sagan_spark.datagen.transcripts import gen_chunk
+
+    whole = gen_chunk(0, 40, seed=7, hot_cap=6000)
+    parts = pd.concat(
+        [gen_chunk(0, 13, 7, 6000), gen_chunk(13, 14, 7, 6000), gen_chunk(14, 40, 7, 6000)],
+        ignore_index=True,
+    )
+    pd.testing.assert_frame_equal(whole, parts)

@@ -23,6 +23,7 @@ alert any any -> any any (msg:"conversation in high-risk range"; sid:1000009; cl
 alert any any -> any any (msg:"retry storm"; sid:1000010; classtype:storm; content:"retry"; after:track by_src, count 5, seconds 300; sink:fast;)
 alert any any -> any any (msg:"policy refusal"; sid:1000011; classtype:refusal; pcre:"/refus/i"; fast_pattern:"refus",nocase; threshold:type limit, track by_src, count 2, seconds 600; sink:eve;)
 alert any any -> any any (msg:"sudo after failed login"; sid:1000012; classtype:escalation; content:"sudo"; flexbits:isset,auth_fail; sink:unified2;)
+alert any any -> any any (msg:"connection endpoint parsed"; sid:1000014; classtype:net; content:"connection from"; parse_src_ip:1; parse_port; parse_proto; sink:syslog;)
 alert any any -> any any (msg:"failed login observed (state only)"; sid:1000013; classtype:auth; content:"login failed"; flexbits:set,auth_fail,900; noalert; sink:fast;)
 """
 
