@@ -29,6 +29,11 @@ from sagan_spark.ops import multimodal as MM
 from sagan_spark.ops import similarity as SIM
 from sagan_spark.ops import text as T
 
+# ANN LSH parameters shared by the Spark query and its SQL oracle (the
+# seeded hyperplanes are inlined into the oracle as double literals)
+ANN_NBITS = 16
+ANN_RADIUS = 6
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -509,22 +514,62 @@ def q_multimodal_stats(spark, sf):
     return MM.media_stats(MM.synthesize_media(d))
 
 
-def q_multimodal_features(spark, sf):  # rows-only: mapInPandas feature stage
+def q_multimodal_features(spark, sf):  # mapInPandas feature stage — checked
+    # projection sticks to SQL-verifiable outputs (kind, sizes, md5 payload
+    # checksums); width/height come from the stubbed decoder and are
+    # asserted in pytest instead, so the stub can't fake a green oracle row
     d = _t(spark, sf, "documents")
     feats = MM.extract_features(MM.synthesize_media(d))
     return feats.groupBy("kind").agg(
         F.count("*").alias("n"),
-        F.sum("width").cast("long").alias("width_sum"),
+        F.sum("n_bytes").cast("long").alias("bytes_sum"),
         F.countDistinct("checksum").alias("distinct_checksums"),
     )
 
 
-def q_pipeline_sink_counts(spark, sf):  # E1 flagship on mapped events (rows-only)
-    from sagan_spark.engine.pipeline import build_alerts
+# stateless canonical sids whose predicates are expressible over the mapped
+# events in ANSI SQL (1000009 needs crc32, which DuckDB lacks; stateful
+# sids 1000010-13 need ordered replay — both stay covered by the pytest
+# differential suite and entry()).
+_SQLABLE_SIDS = (1000001, 1000005, 1000007, 1000014)
 
+
+def q_pipeline_sink_counts(spark, sf):  # E1 on mapped events, oracle-checked
+    from sagan_spark.engine.pipeline import build_alerts
+    from sagan_spark.rules.canonical import CANONICAL
+    from sagan_spark.rules.model import RuleSet
+
+    subset = RuleSet(tuple(r for r in CANONICAL.rules if r.sid in _SQLABLE_SIDS))
     tx = events_as_transcripts(spark, sf)
-    alerts = build_alerts(spark, tx)
-    return alerts.groupBy("sink").agg(F.count("*").alias("n"))
+    alerts = build_alerts(spark, tx, ruleset=subset)
+    return alerts.groupBy("sid").agg(F.count("*").alias("n"))
+
+
+def q_parse_tokens_rule(spark, sf):  # P10/P11 rule keywords end-to-end:
+    # parse_src_ip/parse_port/parse_proto extract into the alert map
+    from sagan_spark.engine.pipeline import build_alerts
+    from sagan_spark.rules.canonical import CANONICAL
+    from sagan_spark.rules.model import RuleSet
+
+    subset = RuleSet(tuple(r for r in CANONICAL.rules if r.sid == 1000014))
+    tx = events_as_transcripts(spark, sf)
+    alerts = build_alerts(spark, tx, ruleset=subset)
+    return alerts.select(
+        F.col("extracted")["src_ip"].alias("src_ip"),
+        F.col("extracted")["port"].cast("int").alias("port"),
+        F.col("extracted")["proto"].alias("proto"),
+    ).groupBy("proto").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("src_ip").alias("distinct_ips"),
+        F.max("port").alias("max_port"),
+    )
+
+
+def q_lsh_bucket_stats(spark, sf):  # 'no silent caps': dropped-bucket count
+    # cap=2 so sf0.01 (max bucket 3) actually drops something — non-vacuous
+    d = _t(spark, sf, "documents")
+    sig = D.minhash_signature(D.shingles(d), num_hashes=8)
+    return D.lsh_bucket_stats(sig, bands=4, rows_per_band=2, max_bucket=2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -563,8 +608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_dups": q_minhash_lsh_dups,
+        "lsh_bucket_stats": q_lsh_bucket_stats,
         "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
         "simhash_portable": q_simhash_portable,
         "ann_threshold": q_ann_threshold,
         "ann_brute_topk": q_ann_brute_topk,
@@ -574,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_stats": q_multimodal_stats,
         "multimodal_features": q_multimodal_features,
         "pipeline_sink_counts": q_pipeline_sink_counts,
+        "parse_tokens_rule": q_parse_tokens_rule,
     }
 
 
@@ -625,7 +671,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderstatus""",
         "anti_join": """
             SELECT c_mktsegment, COUNT(*) AS n FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
             GROUP BY c_mktsegment""",
         "asof_flexbit": """
             SELECT user_id, COUNT(*) AS n FROM (
@@ -642,9 +689,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id,
                      COUNT(*) OVER (PARTITION BY user_id
                                     ORDER BY date_diff('second', TIMESTAMP '1970-01-01', ts)
-                                    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS cnt
+                                    RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS cnt
               FROM events)
-            WHERE cnt > 3 GROUP BY user_id""",
+            WHERE cnt > 2 GROUP BY user_id""",
         "threshold_limit": """
             SELECT event_type, COUNT(*) AS n FROM (
               SELECT event_type,
@@ -870,7 +917,165 @@ def oracle_sql() -> dict[str, str]:
                 f"MIN(substring(md5('{i}:' || shingle), 1, 16)) AS h{i}" for i in range(8)
             )
         ),
-        # no oracle (rows-only, non-SQL-expressible or engine-specific hashing):
-        # simhash (xxhash64), ann_lsh_topk, ann_ivf_topk,
-        # multimodal_features, pipeline_sink_counts
+        "multimodal_features": """
+            SELECT kind, COUNT(*) AS n,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes_sum,
+                   COUNT(DISTINCT md5(text)) AS distinct_checksums
+            FROM (SELECT text,
+                         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                              ELSE 'video' END AS kind
+                  FROM documents)
+            GROUP BY kind""",
+        "lsh_bucket_stats": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, unnest(
+                (list_transform(t, (x, i) -> array_to_string(t[i : i + 2], ' ')))
+                  [1 : greatest(len(t) - 2, 1)]) AS shingle
+              FROM toks),
+            sh2 AS (SELECT * FROM sh WHERE length(shingle) > 0),
+            sig AS (
+              SELECT doc_id,
+                     {mins}
+              FROM sh2 GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band_idx, h0 || '|' || h1 AS band_hash FROM sig
+              UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+              UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+              UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
+            per AS (
+              SELECT band_idx, band_hash, COUNT(*) AS bn,
+                     COUNT(DISTINCT doc_id) AS docs
+              FROM bands GROUP BY band_idx, band_hash)
+            SELECT CAST(COUNT(*) AS BIGINT) AS buckets,
+                   CAST(SUM(CASE WHEN bn > 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS dropped_buckets,
+                   CAST(SUM(CASE WHEN bn > 2 THEN docs ELSE 0 END) AS BIGINT)
+                     AS docs_in_dropped
+            FROM per""".format(
+            mins=",\n                     ".join(
+                f"MIN(substring(md5('{i}:' || shingle), 1, 16)) AS h{i}" for i in range(8)
+            )
+        ),
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            cents AS (
+              SELECT vec_id AS cid, embedding AS cvec FROM e
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+            assigned AS (
+              SELECT e.vec_id, e.embedding,
+                     (SELECT c.cid FROM cents c
+                      ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                               c.cid DESC LIMIT 1) AS cell
+              FROM e),
+            probe AS (
+              SELECT c.cid FROM cents c, q
+              ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC, c.cid DESC
+              LIMIT 2)
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(embedding, qv), 6) AS sim
+            FROM assigned, q WHERE cell IN (SELECT cid FROM probe)
+            ORDER BY sim DESC, vec_id LIMIT 10""",
+        "pipeline_sink_counts": _MAPPED_TX_SQL + """
+            SELECT sid, COUNT(*) AS n FROM (
+              SELECT CAST(1000001 AS BIGINT) AS sid FROM tx
+               WHERE role = 'assistant' AND contains(text, 'error')
+                 AND regexp_matches(text, '(?i)tool\\s+timeout')
+              UNION ALL
+              SELECT CAST(1000005 AS BIGINT) FROM tx
+               WHERE regexp_matches(text, 'code=[0-9]+')
+                 AND CAST(regexp_extract(text, 'code=([0-9]+)', 1) AS INTEGER) >= 500
+              UNION ALL
+              SELECT CAST(1000007 AS BIGINT) FROM tx WHERE role IN ('tool', 'system')
+              UNION ALL
+              SELECT CAST(1000014 AS BIGINT) FROM tx
+               WHERE contains(text, 'connection from')
+                 AND regexp_matches(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')
+                 AND regexp_matches(text, '\\bport[ :]\\d{1,5}\\b')
+                 AND regexp_matches(text, '(?i)\\b(?:tcp|udp|icmp)\\b')
+            ) GROUP BY sid""",
+        "parse_tokens_rule": _MAPPED_TX_SQL + """
+            SELECT proto, COUNT(*) AS n,
+                   COUNT(DISTINCT src_ip) AS distinct_ips,
+                   MAX(port) AS max_port
+            FROM (
+              SELECT regexp_extract(text, '\\b((?:\\d{1,3}\\.){3}\\d{1,3})\\b', 1)
+                       AS src_ip,
+                     CAST(regexp_extract(text, '\\bport[ :](\\d{1,5})\\b', 1)
+                       AS INTEGER) AS port,
+                     lower(regexp_extract(text, '(?i)\\b(tcp|udp|icmp)\\b', 1))
+                       AS proto
+              FROM tx
+              WHERE contains(text, 'connection from')
+                AND regexp_matches(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')
+                AND regexp_matches(text, '\\bport[ :]\\d{1,5}\\b')
+                AND regexp_matches(text, '(?i)\\b(?:tcp|udp|icmp)\\b')
+            ) GROUP BY proto""",
+        # no oracle (rows-only): none — every queries() entry above has a
+        # DuckDB oracle.
     }
+
+
+# The S2 field-mapped transcript view (events_as_transcripts) re-expressed
+# in DuckDB SQL — shared prefix of the pipeline oracles.
+_MAPPED_TX_SQL = """
+            WITH tx AS (
+              SELECT CASE event_type WHEN 'view' THEN 'user'
+                          WHEN 'click' THEN 'tool'
+                          WHEN 'purchase' THEN 'system'
+                          ELSE 'assistant' END AS role,
+                     'event ' || event_type || ' code=' ||
+                       CAST(CAST(props->>'$.k' AS INTEGER) * 6 AS VARCHAR) ||
+                       CASE WHEN event_type = 'error'
+                            THEN ' an error occurred: tool timeout'
+                            ELSE '' END ||
+                       CASE WHEN event_type = 'click'
+                            THEN ' connection from 10.0.' ||
+                                 CAST(CAST(props->>'$.k' AS INTEGER) % 256 AS VARCHAR)
+                                 || '.' || CAST(user_id % 256 AS VARCHAR) ||
+                                 ' port ' ||
+                                 CAST(1024 + CAST(props->>'$.k' AS INTEGER) AS VARCHAR)
+                                 || ' proto tcp'
+                            ELSE '' END AS text
+              FROM events)
+"""
+
+
+def _ann_lsh_sql() -> str:
+    """LSH ANN oracle: the seeded hyperplanes inlined as double literals;
+    signature/probe/re-rank re-derived entirely in SQL (same algorithm,
+    independent engine)."""
+    import numpy as np  # noqa: F401  (via _hyperplanes)
+
+    from sagan_spark.ops.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, ANN_NBITS)
+
+    def plane_lit(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    sig_bits = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding, {plane_lit(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    qsig_bits = " + ".join(
+        f"(CASE WHEN list_dot_product(qv, {plane_lit(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            qs AS (SELECT CAST({qsig_bits} AS BIGINT) AS qsig FROM q),
+            sigs AS (
+              SELECT vec_id, embedding,
+                     CAST({sig_bits} AS BIGINT) AS sig
+              FROM embeddings WHERE vec_id != 0)
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(embedding, qv), 6) AS sim
+            FROM sigs, q, qs
+            WHERE bit_count(xor(sig, qsig)) <= {ANN_RADIUS}
+            ORDER BY sim DESC, vec_id LIMIT 10"""

@@ -37,7 +37,8 @@ def _bench_transcripts(n_convs: int, seed: int = 42, plant_scale: float = 1.0) -
     # 500 convs/file → ≥120 files: parquet splits at file/row-group
     # granularity, so file count bounds scan-side parallelism; one fat
     # row group per file would cap every narrow stage at ~30 tasks.
-    path = f"/tmp/sagan_bench_tx_{n_convs}_{seed}_c500_ps{plant_scale}"
+    # _v2: chunk-invariant hash-based datagen (content differs from round 1)
+    path = f"/tmp/sagan_bench_tx_v2_{n_convs}_{seed}_c500_ps{plant_scale}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         write_transcripts(path, n_convs=n_convs, seed=seed, chunk_convs=500, plant_scale=plant_scale)
@@ -118,7 +119,7 @@ def main() -> None:
         "cidr_range_join",
         "dedup_exact",
         "minhash_lsh_dups",
-        "simhash",
+        "simhash_portable",
         "ann_brute_topk",
         "ann_lsh_topk",
         "quality_score",

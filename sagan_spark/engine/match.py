@@ -527,20 +527,69 @@ def _get_dims(fold_dims: bool) -> _FoldedDims:
     return _FoldedDims()
 
 
+def make_fused_matcher(
+    native_rules: list[Rule],
+    udf_rules: list[Rule],
+    dims: _FoldedDims,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Python half of the fused single-scan plan (see run_match
+    mode="fused"). Native rules arrive PRE-EVALUATED: the JVM projection
+    put their matched sids in the ``_nsids`` array column, so Python only
+    runs their (cheap, vectorized) extraction — predicates never re-run.
+    UDF rules evaluate exactly as in make_matcher."""
+    udf_matcher = make_matcher(RuleSet(tuple(udf_rules)), dims) if udf_rules else None
+    nat_by_sid = {r.sid: r for r in native_rules}
+    out_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "risk_key"]
+
+    def matcher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        warnings.filterwarnings("ignore", message=".*has match groups.*")
+        for pdf in batches:
+            outs: list[pd.DataFrame] = []
+            if nat_by_sid:
+                exp = pdf["_nsids"].explode().dropna()
+                for sid_val, grp in exp.groupby(exp):
+                    rule = nat_by_sid[int(sid_val)]
+                    sub = pdf.loc[grp.index]
+                    out = sub[out_cols].copy()
+                    out["sid"] = np.int64(rule.sid)
+                    out["extracted"] = _extract(rule, sub)
+                    outs.append(out)
+            if udf_matcher is not None:
+                outs.extend(udf_matcher(iter([pdf])))
+            outs = [o for o in outs if len(o)]
+            if outs:
+                yield pd.concat(outs, ignore_index=True)[
+                    [f.name for f in MATCH_SCHEMA.fields]
+                ]
+            else:
+                yield pd.DataFrame(
+                    {f.name: pd.Series(dtype="object") for f in MATCH_SCHEMA.fields}
+                )
+
+    return matcher
+
+
 def run_match(
-    df: DataFrame, ruleset: RuleSet, fold_dims: bool = True, mode: str = "hybrid"
+    df: DataFrame, ruleset: RuleSet, fold_dims: bool = True, mode: str = "fused"
 ) -> DataFrame:
     """parse+match stage: input transcript DF → one row per (turn, sid).
 
-    mode="hybrid" (default): native-compilable rules run as pure Column
-    expressions (whole-stage codegen, zero Python); only rows passing the
-    fast-pattern prefilter of the remaining pcre/grok/chain rules cross
-    Arrow into the vectorized UDF. Costs a second scan of the input;
-    wins whenever UDF-rule candidate selectivity ≪ 1 (the common case —
-    measured 2.5× faster end-to-end at local[32]).
+    mode="fused" (default): ONE scan. Native-compilable rules are still
+    evaluated as pure Column expressions (whole-stage codegen) — but into
+    a ``_nsids`` sid-array projection instead of a separate branch; rows
+    with no native hit AND no UDF fast-pattern candidate are filtered
+    JVM-side, and only the surviving candidates cross Arrow once, where
+    native extraction + UDF-rule evaluation happen together. At 100 TB the
+    scan dominates, so single-scan is the right default; the extra Arrow
+    crossing for native-hit rows is bounded by the alert rate.
+
+    mode="hybrid": native rules explode JVM-side (zero Python for them),
+    UDF candidates cross Arrow — but the input is scanned TWICE. Wins only
+    when alert rate is high (dense rule sets) AND the scan is cheap
+    (cached/local) — measured at sf0.1 in BENCH/BASELINE.md.
 
     mode="udf": single scan, every rule evaluated in the vectorized UDF —
-    use when scan IO dominates or rules are mostly non-native.
+    the fallback when rules are mostly non-native.
     """
     dims = _get_dims(fold_dims)
     prepared = _prepare(df)
@@ -550,6 +599,23 @@ def run_match(
     folded = {r.sid: _fold_enrich(r, dims) for r in ruleset.rules}
     native_rules = [r for r in ruleset.rules if native_compilable(r)]
     udf_rules = [r for r in ruleset.rules if not native_compilable(r)]
+
+    if mode == "fused":
+        nsids = F.array_compact(
+            F.array(
+                *[
+                    F.when(_native_cond(r, folded[r.sid]), F.lit(r.sid).cast("long"))
+                    for r in native_rules
+                ]
+            )
+        ) if native_rules else F.array().cast("array<long>")
+        cand = F.size(F.col("_nsids")) > 0
+        if udf_rules:
+            cand = cand | _coarse_prefilter(udf_rules, folded)
+        fused_in = prepared.withColumn("_nsids", nsids).filter(cand)
+        return fused_in.mapInPandas(
+            make_fused_matcher(native_rules, udf_rules, dims), schema=MATCH_SCHEMA
+        )
 
     parts: list[DataFrame] = []
     if native_rules:

@@ -52,6 +52,7 @@ def build_alerts(
     fold_dims: bool = True,
     correlate_scope: str = "linear",
     persist_intermediate: bool = False,
+    match_mode: str = "fused",
 ) -> DataFrame:
     """The alert DataFrame (lazy).
 
@@ -70,7 +71,7 @@ def build_alerts(
     from ..packaging import ensure_shipped
 
     ensure_shipped(spark)
-    matched = match.run_match(input_df, ruleset, fold_dims=fold_dims)
+    matched = match.run_match(input_df, ruleset, fold_dims=fold_dims, mode=match_mode)
     enriched = enrich.attach_dims(
         matched,
         dimsmod.role_dim(spark),
@@ -97,6 +98,7 @@ def run(
     out_dir: str | None = None,
     fold_dims: bool = True,
     count_input: bool = False,
+    match_mode: str = "fused",
 ) -> PipelineResult:
     """Execute the pipeline.
 
@@ -118,7 +120,7 @@ def run(
         F.min("ts").alias("ts_min"),
         F.max("ts").alias("ts_max"),
     )
-    alerts = build_alerts(spark, df, ruleset, fold_dims=fold_dims)
+    alerts = build_alerts(spark, df, ruleset, fold_dims=fold_dims, match_mode=match_mode)
     res = PipelineResult(alerts=alerts)
     sinks = ruleset.sinks()
     sids = sorted(r.sid for r in ruleset.rules if not r.noalert)

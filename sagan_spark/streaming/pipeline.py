@@ -14,14 +14,17 @@ analogue is per-conversation turn order across micro-batches. Within a
 batch each conversation's rows are sorted by turn_idx; across batches the
 source must deliver a conversation's turns in non-decreasing order (true
 for append-only transcript logs; enforceable with ``maxFilesPerTrigger`` +
-chronological file naming). Late/replayed turns would need watermark +
-reorder buffering — documented out of scope.
+chronological file naming). Turns arriving at or below the replayed
+high-water mark are DROPPED AND COUNTED (late-data policy, see
+_make_state_fn) rather than replayed out of order.
 
 State per conversation is O(#stateful rules + #bits): counters (window
-start + count per sid) and bit timestamps, serialized as JSON in the
-GroupState — the streaming twin of Sagan's mmap flexbit/threshold tables.
-A production deployment adds a state TTL for dead conversations
-(ProcessingTimeTimeout); tests use NoTimeout.
+start + count per sid) and bit timestamps, plus the turn high-water mark
+and late-drop count, serialized as JSON in the GroupState — the streaming
+twin of Sagan's mmap flexbit/threshold tables. ``state_ttl_minutes``
+enables ProcessingTimeTimeout eviction of dead conversations (bounded
+state at 10^9 conversations); None keeps state forever (tests of
+cross-batch semantics use that).
 """
 
 from __future__ import annotations
@@ -128,16 +131,36 @@ def _replay_batch_incremental(
     return emit_rows
 
 
-def _make_state_fn(ruleset: RuleSet, out_cols: list[str]):
+def _make_state_fn(ruleset: RuleSet, out_cols: list[str], ttl_minutes: int | None = None):
+    """State function with two production policies (SURVEY §2.7):
+
+    - TTL (``ttl_minutes``): dead conversations are evicted via
+      ProcessingTimeTimeout — the streaming twin of Sagan's flexbit
+      expiry sweep. On timeout the group's state is removed; if the
+      conversation later resumes it restarts from empty state (counters
+      re-anchor, bits re-set) — documented, bounded-memory behavior.
+    - Late-turn policy: the ordering contract is per-conversation
+      non-decreasing turn_idx across micro-batches; a turn at or below the
+      replayed high-water mark would corrupt reset-window/bit state if
+      replayed, so it is DROPPED and counted (``late`` in the state blob)
+      instead of silently corrupting — drop-and-count, the documented
+      late-data policy.
+    """
     rules_by_sid = {r.sid: r for r in ruleset.rules if r.stateful}
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if ttl_minutes is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             blob = json.loads(state.get[0])
             counters = {k: tuple(v) for k, v in blob["counters"].items()}
             bits = {k: tuple(v) for k, v in blob["bits"].items()}
+            last_turn = blob.get("last_turn", -1)
+            late = blob.get("late", 0)
         else:
             counters, bits = {}, {}
+            last_turn, late = -1, 0
         # Accumulate ALL Arrow chunks for this key first: a micro-batch may
         # deliver one group as several chunks with no cross-chunk ordering
         # guarantee, and replay is order-sensitive — concat, then ONE
@@ -146,10 +169,24 @@ def _make_state_fn(ruleset: RuleSet, out_cols: list[str]):
         outs = []
         if parts:
             pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
-            keep = _replay_batch_incremental(rules_by_sid, pdf, counters, bits)
-            if keep:
-                outs.append(pdf.loc[keep, out_cols])
-        state.update((json.dumps({"counters": counters, "bits": bits}),))
+            late_mask = pdf["turn_idx"] <= last_turn
+            if late_mask.any():
+                late += int(late_mask.sum())
+                pdf = pdf.loc[~late_mask]
+            if len(pdf):
+                last_turn = max(last_turn, int(pdf["turn_idx"].max()))
+                keep = _replay_batch_incremental(rules_by_sid, pdf, counters, bits)
+                if keep:
+                    outs.append(pdf.loc[keep, out_cols])
+        state.update(
+            (
+                json.dumps(
+                    {"counters": counters, "bits": bits, "last_turn": last_turn, "late": late}
+                ),
+            )
+        )
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(int(ttl_minutes * 60_000))
         if outs:
             yield pd.concat(outs, ignore_index=True)
 
@@ -161,6 +198,7 @@ def build_stream(
     input_dir: str,
     ruleset: RuleSet = CANONICAL,
     max_files_per_trigger: int = 1,
+    state_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """The streaming alert DataFrame (unstarted query)."""
     from ..packaging import ensure_shipped
@@ -194,12 +232,19 @@ def build_stream(
         stateless = enriched.filter(~enriched.sid.isin(stateful_sids)).drop("extracted")
         stateful = enriched.filter(enriched.sid.isin(stateful_sids)).drop("extracted")
         out_schema = stateful.schema
+        timeout = (
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        )
         replayed = stateful.groupBy("conv_id").applyInPandasWithState(
-            _make_state_fn(ruleset, [f.name for f in out_schema.fields]),
+            _make_state_fn(
+                ruleset, [f.name for f in out_schema.fields], state_ttl_minutes
+            ),
             outputStructType=out_schema,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
         correlated = stateless.unionByName(replayed)
     return route.attach_rule_meta(correlated, ruleset)
@@ -212,11 +257,22 @@ def run_stream(
     checkpoint_dir: str,
     ruleset: RuleSet = CANONICAL,
     max_files_per_trigger: int = 1,
+    state_ttl_minutes: int | None = None,
+    trigger_processing_time: str | None = None,
 ):
     """Start the streaming pipeline; per-sink fan-out via foreachBatch
     (each micro-batch appends to parquet per sink — the streaming twin of
-    route.write_sinks). Returns the StreamingQuery."""
-    alerts = build_stream(spark, input_dir, ruleset, max_files_per_trigger)
+    route.write_sinks). Returns the StreamingQuery.
+
+    NOTE: with ``state_ttl_minutes`` set, Structured Streaming schedules
+    batches CONTINUOUSLY to evaluate processing-time timers — always pass
+    ``trigger_processing_time`` (e.g. "1 minute") alongside TTL, or the
+    engine busy-loops empty batches; ``processAllAvailable()`` also never
+    settles under pending timers, so TTL deployments should monitor via
+    listeners/output instead."""
+    alerts = build_stream(
+        spark, input_dir, ruleset, max_files_per_trigger, state_ttl_minutes
+    )
     sinks = ruleset.sinks()
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -230,9 +286,11 @@ def run_stream(
             )
         batch_df.unpersist()
 
-    return (
+    writer = (
         alerts.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .start()
     )
+    if trigger_processing_time is not None:
+        writer = writer.trigger(processingTime=trigger_processing_time)
+    return writer.start()
