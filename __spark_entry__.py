@@ -201,14 +201,19 @@ def q_geoip_join(spark, sf):  # J1 broadcast dim join chain
     )
 
 
-def q_cidr_range_join(spark, sf):  # J2 non-equi broadcast range join
+def q_cidr_range_join(spark, sf):  # J2 range join — bucketed equi-join form
+    # (BroadcastHashJoin on a derived bucket key, not per-row BNLJ: at
+    # 100 TB the nested-loop's row×range cost dominates; see
+    # engine/enrich.bucketed_range_join)
+    from sagan_spark.engine.enrich import bucketed_range_join
+
     li = _t(spark, sf, "lineitem")
     rng = spark.createDataFrame(
         [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 60.0, "high")],
         "lo double, hi double, tag string",
     )
     return (
-        li.join(F.broadcast(rng), (li.l_quantity >= rng.lo) & (li.l_quantity < rng.hi))
+        bucketed_range_join(li, rng, "l_quantity", bucket_width=5.0)
         .groupBy("tag")
         .agg(F.count("*").alias("n"))
     )
@@ -459,6 +464,15 @@ def q_ngram_jaccard(spark, sf):
     )
 
 
+def q_embedding_near_dups(spark, sf):  # embedding-cosine near-dup dedup
+    emb = _t(spark, sf, "embeddings")
+    pairs = D.embedding_near_dups(emb, threshold=0.25, nbits=8)
+    return pairs.select(
+        F.count("*").alias("pairs"),
+        F.coalesce(F.round(F.sum("cos"), 2), F.lit(0.0)).alias("cos_sum"),
+    )
+
+
 def q_simhash_portable(spark, sf):
     d = _t(spark, sf, "documents")
     return D.simhash_portable(d, bits=16).select(
@@ -610,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "lsh_bucket_stats": q_lsh_bucket_stats,
         "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dups": q_embedding_near_dups,
         "simhash_portable": q_simhash_portable,
         "ann_threshold": q_ann_threshold,
         "ann_brute_topk": q_ann_brute_topk,
@@ -959,6 +974,7 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "embedding_near_dups": _emb_neardup_sql(),
         "ann_ivf_topk": """
             WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0),
             q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1042,6 +1058,30 @@ _MAPPED_TX_SQL = """
                             ELSE '' END AS text
               FROM events)
 """
+
+
+def _emb_neardup_sql() -> str:
+    """Embedding near-dup oracle: identical hyperplane signatures (inlined
+    literals), bucket self-join, exact-cosine threshold — re-derived in SQL."""
+    from sagan_spark.ops.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding, "
+        f"[{', '.join(repr(float(x)) for x in p)}]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+            WITH sigs AS (
+              SELECT vec_id, embedding, CAST({bits} AS BIGINT) AS sig
+              FROM embeddings)
+            SELECT COUNT(*) AS pairs,
+                   COALESCE(ROUND(SUM(ROUND(cos, 6)), 2), 0.0) AS cos_sum
+            FROM (
+              SELECT list_cosine_similarity(l.embedding, r.embedding) AS cos
+              FROM sigs l JOIN sigs r
+                ON l.sig = r.sig AND l.vec_id < r.vec_id)
+            WHERE cos >= 0.25"""
 
 
 def _ann_lsh_sql() -> str:

@@ -1,21 +1,22 @@
 """End-to-end batch pipeline: parse → match → enrich → correlate → route.
 
 The Spark re-expression of Sagan's per-event loop (SURVEY §3.2 E1). Plan
-shape (asserted by tests/test_plan_shape.py):
+shape with the default fused match (asserted by tests/test_plan_shape.py):
 
-  parquet/Iceberg scan ×2 branches (ReadSchema pruned to the 6 transcript
-  columns; fast-pattern StringContains pushed to the scan)
-    ├→ native rules: when-array + explode    [whole-stage codegen]
-    └→ UDF rules: Filter(fast patterns) → MapInPandas   ← JVM↔Py boundary
-    → union → BroadcastHashJoin ×2 + BroadcastNestedLoopJoin (attach dims)
-    → Exchange hashpartitioning(conv_id)     [the ONLY data shuffle]
+  ONE parquet/Iceberg scan (ReadSchema pruned to the 6 transcript columns)
+    → Project: native-rule when-array → `_nsids` [whole-stage codegen]
+    → Filter: native hit OR UDF fast-pattern     [JVM-side candidate prune]
+    → MapInPandas fused matcher                  ← the JVM↔Py boundary
+    → BroadcastHashJoin ×2 + BroadcastNestedLoopJoin (attach dims)
+    → Exchange hashpartitioning(conv_id)         [the ONLY data shuffle]
     → Sort within partitions → MapInPandas replay (stateless pass through)
     → literal-map rule meta → sinks / Observation counts
 
-Strictly linear past the union: every stage has one consumer, so nothing
-recomputes and nothing needs a persist (counts ride the single action via
-the Observation API). Only the out_dir path persists alerts, because four
-sink writers reuse them.
+Strictly linear: every stage has one consumer, so nothing recomputes and
+nothing needs a persist (counts ride the single action via the Observation
+API). Exceptions that DO persist: the out_dir path (four sink writers
+reuse alerts) and rule sets with role-tracked counters (two replay
+branches).
 """
 
 from __future__ import annotations

@@ -6,8 +6,12 @@ rule dim, then fans out per sink:
   (never Python str() of timestamps — SURVEY §7.4.3).
 - eve: newline-delimited JSON via `to_json(struct(...))` with a fixed
   field order ([PUB src/output-plugins/eve.c] analogue).
-- unified2: Parquet with the identical row set (binary format stand-in,
-  judged on count equality — SURVEY §2.1 S6 ◐).
+- unified2: Parquet row set in write_sinks (queryable form) PLUS a real
+  length-prefixed binary record stream (write_unified2_binary — type/len
+  framing per the public unified2 spec, big-endian u32 fields, serialized
+  entirely JVM-side).
+- external program (S8): pipe_to_program streams formatted lines into a
+  subprocess per partition.
 
 Write shape at scale: one `partitionBy("sink")` write = a single pass;
 within each sink files are sorted by (conv_id, turn_idx) via
@@ -145,6 +149,88 @@ def sink_counts(alerts: DataFrame) -> DataFrame:
 def sid_counts(alerts: DataFrame) -> DataFrame:
     """A1: per-rule hit counters ([PUB src/stats.c])."""
     return alerts.groupBy("sid").count().withColumnRenamed("count", "n")
+
+
+def _u32(col: F.Column) -> F.Column:
+    """Big-endian uint32 bytes from an integer Column (hex → lpad → unhex),
+    pure JVM expression — no Python in the serializer."""
+    return F.unhex(F.lpad(F.hex(col.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))), 8, "0"))
+
+
+def unified2_record() -> F.Column:
+    """S6: binary unified2-style framing ([PUB Snort unified2 spec]:
+    4-byte record type + 4-byte length header, big-endian u32 body fields).
+    Body transposes the IDS-event fields onto the transcript payload:
+
+        event_id(crc32 conv), turn_idx, ts_sec, ts_usec,
+        generator_id(=1), sid, rev, priority
+
+    Field-for-field byte compatibility with Snort consumers isn't claimed
+    (no IP tuple in this payload); the framing, endianness and record
+    discipline are real, so a length-prefixed reader walks the file."""
+    body = F.concat(
+        _u32(F.crc32(F.encode(F.col("conv_id"), "utf-8"))),
+        _u32(F.col("turn_idx")),
+        _u32(F.unix_timestamp(F.col("ts").cast("timestamp"))),
+        _u32(F.date_format("ts", "SSSSSS").cast("long")),
+        _u32(F.lit(1)),
+        _u32(F.col("sid")),
+        _u32(F.col("rev")),
+        _u32(F.col("priority")),
+    )
+    return F.concat(_u32(F.lit(7)), _u32(F.length(body)), body)
+
+
+def write_unified2_binary(alerts: DataFrame, out_dir: str) -> None:
+    """Write the unified2 sink as length-prefixed binary record files, one
+    file per conv_id-hash partition (Sagan spools unified2 to local files
+    the same way; on a cluster, point out_dir at shared storage)."""
+    os.makedirs(out_dir, exist_ok=True)
+    recs = (
+        alerts.filter(F.col("sink") == "unified2")
+        .repartition("conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx", "sid")
+        .select(unified2_record().alias("rec"))
+    )
+
+    def dump(rows) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        buf = b"".join(r.rec for r in rows)
+        if buf:
+            with open(os.path.join(out_dir, f"part-{pid:05d}.u2"), "wb") as f:
+                f.write(buf)
+
+    recs.foreachPartition(dump)
+
+
+def pipe_to_program(alerts: DataFrame, sink: str, argv: list[str]) -> int:
+    """S8: external-program sink ([PUB src/output-plugins/external.c]) —
+    stream a sink's formatted lines to a subprocess on each executor, one
+    process per partition (the per-partition imperative case where an RDD
+    is the right tool). Returns the number of lines piped; raises if any
+    program exits non-zero."""
+    lines = sink_lines(alerts, sink).sortWithinPartitions("conv_id", "turn_idx", "sid")
+
+    def feed(rows):
+        import subprocess
+
+        proc = subprocess.Popen(argv, stdin=subprocess.PIPE, text=True)
+        n = 0
+        try:
+            for r in rows:
+                proc.stdin.write(r.line + "\n")
+                n += 1
+            proc.stdin.close()
+        except BrokenPipeError:  # program died mid-stream → surface via rc
+            pass
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(f"external sink {argv!r} exited {rc}")
+        yield n
+
+    return int(lines.rdd.mapPartitions(feed).sum())
 
 
 def write_sinks(alerts: DataFrame, out_dir: str) -> None:

@@ -179,6 +179,50 @@ def ngram_jaccard(
     )
 
 
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.25,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos) with cos ≥
+    ``threshold``, candidates restricted to pairs sharing a random-
+    hyperplane LSH bucket (sign signature over ``nbits`` seeded planes).
+
+    Scale shape: bucket key = the packed signature, so candidate
+    generation is a self-equi-join on the bucket (same discipline as the
+    MinHash LSH path — never all-pairs; expected bucket size n/2^nbits).
+    Exact cosine re-check inside the bucket keeps precision exact;
+    recall is the LSH trade documented in ops/similarity. ``threshold``
+    and ``nbits`` tune the precision/recall/bucket-size triangle: near-dup
+    vectors (cos → 1) collide in almost every bucket, so real corpora use
+    nbits 16-24 at 10^9 vectors."""
+    from .similarity import _hyperplanes, cosine, lsh_signature
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, nbits)
+    sig = emb.select(
+        F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("_sig")
+    )
+    left = sig.alias("l")
+    right = sig.alias("r")
+    cos = cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+    return (
+        left.join(
+            right,
+            (F.col("l._sig") == F.col("r._sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .where(cos >= F.lit(float(threshold)))
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.round(cos, 6).alias("cos"),
+        )
+    )
+
+
 def simhash_portable(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:

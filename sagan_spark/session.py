@@ -22,6 +22,14 @@ DEFAULT_CONF: dict[str, str] = {
     # of occupying DRAM, and G1 young collections stay short. Measured at
     # local[32], 6.4M turns, wide rule set: 2g→39s, 6g→56s, 48g→177s.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "2g"),
+    # Throughput GC: G1's concurrent threads contend with 32 busy worker
+    # threads on this box — ParallelGC measured 33% faster on the match
+    # stage at local[32] (9.85s vs 14.6s, 6.8M turns) AND lifts 8→32
+    # scaling efficiency from 0.55 to 0.69 (≈ the pure-compute ceiling).
+    # On a real cluster executors get this via spark.executor.extraJavaOptions.
+    "spark.driver.extraJavaOptions": os.environ.get(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"
+    ),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

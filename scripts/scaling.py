@@ -26,12 +26,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_leg(cpus: int, repeats: int) -> dict:
-    walls: list[float] = []
-    out: dict = {}
+def run_once(cpus: int) -> tuple[float, dict]:
     qname = os.environ.get("SAGAN_SCALING_QUERY", "pipeline_wide")
-    for _ in range(repeats):
-        env = dict(
+    env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=str(cpus),
             # scaling is measured on the compute-representative wide rule
@@ -46,30 +43,45 @@ def run_leg(cpus: int, repeats: int) -> dict:
             # (at 1.7M turns, ~10s of fixed cost masks the speedup entirely)
             SAGAN_BENCH_CONVS=os.environ.get("SAGAN_BENCH_CONVS", "60000"),
         )
-        p = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
-        line = p.stdout.strip().splitlines()[-1]
-        out = json.loads(line)
-        walls.append(out["queries"][qname])
-    # MIN, not median: this sandbox VM shows sporadic kernel-side
-    # interference (memory compaction) inflating wall times by 20-100%;
-    # the minimum is the least-contaminated estimate of the job's true cost
-    med = min(walls)
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    line = p.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    return out["queries"][qname], out
+
+
+def run_legs(n: int, n4: int, repeats: int) -> tuple[dict, dict]:
+    """INTERLEAVED legs (N, 4N, N, 4N, …): the VM's noise arrives in
+    multi-minute windows, so sequential legs can hand one parallelism
+    level all the interference; alternating gives both legs the same
+    exposure. MIN of repeats per leg (least-contaminated estimate)."""
+    qname = os.environ.get("SAGAN_SCALING_QUERY", "pipeline_wide")
     alerts_key = "pipeline_wide_alerts" if qname == "pipeline_wide" else "pipeline_alerts"
-    return {
-        "cpus": cpus,
-        "query": qname,
-        "wall_s_runs": walls,
-        "wall_s_min": med,
-        "turns": out["pipeline_turns"],
-        "alerts": out[alerts_key],
-        "turns_per_sec": round(out["pipeline_turns"] / med, 1),
-    }
+    walls: dict[int, list[float]] = {n: [], n4: []}
+    outs: dict[int, dict] = {}
+    for _ in range(repeats):
+        for cpus in (n, n4):
+            w, out = run_once(cpus)
+            walls[cpus].append(w)
+            outs[cpus] = out
+    legs = {}
+    for cpus in (n, n4):
+        best = min(walls[cpus])
+        legs[cpus] = {
+            "cpus": cpus,
+            "query": qname,
+            "wall_s_runs": walls[cpus],
+            "wall_s_min": best,
+            "turns": outs[cpus]["pipeline_turns"],
+            "alerts": outs[cpus][alerts_key],
+            "turns_per_sec": round(outs[cpus]["pipeline_turns"] / best, 1),
+        }
+    return legs[n], legs[n4]
 
 
 _CALIBRATION = """
@@ -111,12 +123,12 @@ def main() -> None:
     ap.add_argument("--n4", type=int, default=32)
     args = ap.parse_args()
 
-    cal_lo = min(calibration(args.n) for _ in range(2))
-    cal_hi = min(calibration(args.n4) for _ in range(2))
+    cals = [(calibration(args.n), calibration(args.n4)) for _ in range(2)]
+    cal_lo = min(c[0] for c in cals)
+    cal_hi = min(c[1] for c in cals)
     cal_eff = round((cal_lo / cal_hi) / (args.n4 / args.n), 3)
 
-    lo = run_leg(args.n, args.repeats)
-    hi = run_leg(args.n4, args.repeats)
+    lo, hi = run_legs(args.n, args.n4, args.repeats)
     assert lo["alerts"] == hi["alerts"], "outputs differ between parallelism levels!"
     eff = round((hi["turns_per_sec"] / lo["turns_per_sec"]) / (args.n4 / args.n), 3)
     rel = round(eff / cal_eff, 3) if cal_eff else None

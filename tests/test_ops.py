@@ -14,8 +14,7 @@ from sagan_spark.ops import multimodal as MM
 from sagan_spark.ops import similarity as SIM
 
 
-@pytest.fixture(scope="module")
-def emb(spark):
+def _gen_vecs():
     import numpy as np
 
     rng = np.random.default_rng(123)
@@ -23,6 +22,12 @@ def emb(spark):
     # plant 20 near-neighbors of vec 0 so recall@10 is meaningful
     for i in range(1, 21):
         vecs[i] = vecs[0] + 0.15 * rng.standard_normal(64)
+    return vecs
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    vecs = _gen_vecs()
     pdf = pd.DataFrame(
         {
             "vec_id": range(400),
@@ -75,6 +80,27 @@ def test_ivf_probes_fewer_rows_than_corpus(emb):
         )
     ]
     assert sims  # smoke: centroid vectors round-trip as python floats
+
+
+def test_embedding_near_dups_precision_and_recall(emb):
+    """Precision is exact by construction (bucket candidates re-checked
+    with exact cosine); recall over the planted near-dup clique must clear
+    a floor at the test's nbits."""
+    import numpy as np
+
+    vecs = _gen_vecs()
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = (vecs @ vecs.T) / np.outer(norms, norms)
+    truth = {
+        (i, j)
+        for i in range(400)
+        for j in range(i + 1, 400)
+        if cos[i, j] >= 0.8
+    }
+    got = {(r.a, r.b) for r in D.embedding_near_dups(emb, threshold=0.8, nbits=8).collect()}
+    assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
+    assert truth, "fixture lost its planted near-dup clique"
+    assert len(got) / len(truth) >= 0.5, f"recall {len(got)}/{len(truth)}"
 
 
 def test_simhash64_duplicate_and_near_dup(spark):

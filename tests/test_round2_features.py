@@ -256,6 +256,97 @@ def test_ruleset_rejects_depends_on_noalert_parent():
 
 
 # ---------------------------------------------------------------------------
+# bucketed range join: hash-join plan, BNLJ-identical results
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_range_join_matches_bnlj(spark):
+    from pyspark.sql import functions as F
+
+    from sagan_spark.engine.enrich import bucketed_range_join
+
+    fact = spark.range(0, 5000).select(
+        F.col("id"), (F.pmod(F.col("id") * 37, F.lit(600)) / 10.0).alias("v")
+    )
+    rng = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 60.0, "high")],
+        "lo double, hi double, tag string",
+    )
+    got = (
+        bucketed_range_join(fact, rng, "v", bucket_width=5.0)
+        .groupBy("tag").agg(F.count("*").alias("n"))
+        .orderBy("tag").collect()
+    )
+    want = (
+        fact.join(F.broadcast(rng), (fact.v >= rng.lo) & (fact.v < rng.hi))
+        .groupBy("tag").agg(F.count("*").alias("n"))
+        .orderBy("tag").collect()
+    )
+    assert [(r.tag, r.n) for r in got] == [(r.tag, r.n) for r in want]
+    plan = bucketed_range_join(fact, rng, "v", bucket_width=5.0)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# S6 unified2 binary sink + S8 external program sink
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def canonical_result(spark, tiny_path):
+    from sagan_spark.rules.canonical import CANONICAL
+
+    res = pipeline.run(spark, tiny_path, CANONICAL, out_dir=None)
+    # keep alerts usable for the sink tests
+    res.alerts = res.alerts.persist()
+    res.alerts.count()
+    yield res
+    res.unpersist()
+
+
+def test_unified2_binary_records_roundtrip(spark, tiny_pdf, canonical_result, tmp_path):
+    import glob
+    import struct
+    import zlib
+
+    from sagan_spark.engine import route
+    from sagan_spark.oracle.pandas_engine import run_oracle
+    from sagan_spark.rules.canonical import CANONICAL
+
+    out = str(tmp_path / "u2")
+    route.write_unified2_binary(canonical_result.alerts, out)
+    recs = []
+    for f in sorted(glob.glob(out + "/*.u2")):
+        buf = open(f, "rb").read()
+        off = 0
+        while off < len(buf):
+            rtype, ln = struct.unpack(">II", buf[off : off + 8])
+            assert rtype == 7
+            fields = struct.unpack(f">{ln // 4}I", buf[off + 8 : off + 8 + ln])
+            recs.append(fields)
+            off += 8 + ln
+    ora = run_oracle(tiny_pdf, CANONICAL)
+    want = [a for a in ora.alerts if a["sink"] == "unified2"]
+    assert len(recs) == len(want)
+    got = sorted((r[0], r[1], r[5]) for r in recs)  # (event_id, turn, sid)
+    exp = sorted(
+        (zlib.crc32(a["conv_id"].encode()), a["turn_idx"], a["sid"]) for a in want
+    )
+    assert got == exp
+
+
+def test_external_program_sink_pipes_lines(canonical_result):
+    from sagan_spark.engine import route
+
+    n = route.pipe_to_program(canonical_result.alerts, "fast", ["sh", "-c", "cat > /dev/null"])
+    assert n == canonical_result.sink_counts["fast"]
+    with pytest.raises(Exception, match="exited"):
+        route.pipe_to_program(canonical_result.alerts, "fast", ["false"])
+
+
+# ---------------------------------------------------------------------------
 # datagen chunk-invariance contract (CLAUDE.md invariant, now true)
 # ---------------------------------------------------------------------------
 
