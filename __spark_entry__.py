@@ -422,6 +422,32 @@ def q_token_count(spark, sf):
     )
 
 
+def q_token_count_bpe(spark, sf):  # BPE-ish regex tokenization
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(T.token_count_bpe(F.col("text"))).cast("long").alias("tokens"),
+        F.count("*").alias("docs"),
+    )
+
+
+def q_rolling_fingerprint(spark, sf):  # order-sensitive doc fingerprint
+    d = _t(spark, sf, "documents")
+    fp = d.select(T.rolling_fingerprint(F.col("text")).alias("fp"))
+    return fp.select(
+        F.countDistinct("fp").alias("distinct_fp"),
+        F.sum("fp").cast("long").alias("fp_sum"),
+    )
+
+
+def q_quality_battery(spark, sf):  # length/punct/stopword quality ratios
+    d = _t(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.round(F.avg(T.alpha_ratio(F.col("text"))), 4).alias("avg_alpha"),
+        F.round(F.avg(T.punct_ratio(F.col("text"))), 4).alias("avg_punct"),
+        F.round(F.avg(T.stopword_ratio(F.col("text"))), 4).alias("avg_stop"),
+    )
+
+
 def q_quality_score(spark, sf):
     d = _t(spark, sf, "documents")
     return d.groupBy("source").agg(
@@ -618,7 +644,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "quality_score": q_quality_score,
+        "quality_battery": q_quality_battery,
         "lang_id": q_lang_id,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_dups": q_minhash_lsh_dups,
@@ -792,6 +821,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
                    ROUND(AVG(ROUND((length(text) - length(replace(text, ' ', '')))
                          / greatest(length(text), 1), 4)), 4) AS avg_quality
+            FROM documents GROUP BY source""",
+        "token_count_bpe": """
+            SELECT lang,
+                   CAST(SUM(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS tokens,
+                   COUNT(*) AS docs
+            FROM documents GROUP BY lang""",
+        "rolling_fingerprint": """
+            WITH h AS (
+              SELECT list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(
+                           list_filter(string_split(lower(text), ' '),
+                                       x -> length(x) > 0),
+                           t -> CAST(CAST(('0x' || substring(md5(t), 1, 8))
+                                AS UBIGINT) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % 2147483647) AS fp
+              FROM documents)
+            SELECT COUNT(DISTINCT fp) AS distinct_fp,
+                   CAST(SUM(fp) AS BIGINT) AS fp_sum
+            FROM h""",
+        "quality_battery": """
+            SELECT source,
+                   ROUND(AVG(ROUND((length(text) -
+                         length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                         / greatest(length(text), 1), 4)), 4) AS avg_alpha,
+                   ROUND(AVG(ROUND((length(text) -
+                         length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                         / greatest(length(text), 1), 4)), 4) AS avg_punct,
+                   ROUND(AVG(ROUND(
+                     len(list_filter(
+                       list_filter(string_split(lower(text), ' '),
+                                   x -> length(x) > 0),
+                       t -> t IN ('the','and','of','to','a','in','is'))) * 1.0
+                     / greatest(len(list_filter(string_split(lower(text), ' '),
+                                   x -> length(x) > 0)), 1), 4)), 4) AS avg_stop
             FROM documents GROUP BY source""",
         "lang_id": """
             SELECT CASE

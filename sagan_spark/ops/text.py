@@ -41,3 +41,57 @@ def lang_guess(text: Column) -> Column:
 
 def fingerprint(text: Column) -> Column:
     return F.substring(F.md5(F.encode(F.lower(F.trim(text)), "utf-8")), 1, 16)
+
+
+# GPT-2-ish pre-tokenizer simplification: letter runs, digit runs, single
+# non-alphanumeric marks. Space class is a literal ' ' (not \s) so Java
+# and RE2 agree byte-for-byte.
+_BPE_TOKEN_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Subword-ish token count (BPE pre-tokenization stand-in): counts
+    letter runs + digit runs + individual punctuation marks."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_TOKEN_RX), 0))
+
+
+_ROLL_B, _ROLL_M = 31, 2147483647  # classic polynomial rolling hash, 31/2^31-1
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    per-token md5-derived values, h ← (h·31 + t) mod (2³¹−1). Pure Column
+    fold (F.aggregate); moduli keep every intermediate < 2⁶³ so ANSI-mode
+    long arithmetic never overflows. Unlike ``fingerprint`` (whole-text
+    md5), token reordering changes the value while whitespace runs don't."""
+    toks = F.filter(F.split(F.lower(text), " "), lambda t: F.length(t) > 0)
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(F.encode(t, "utf-8")), 1, 8), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(_ROLL_B) + t, F.lit(_ROLL_M)),
+    )
+
+
+_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is")
+
+
+def alpha_ratio(text: Column) -> Column:
+    n = F.length(text)
+    alpha = n - F.length(F.regexp_replace(text, "[A-Za-z]", ""))
+    return F.round(alpha / F.greatest(n, F.lit(1)), 4)
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+    return F.round(punct / F.greatest(n, F.lit(1)), 4)
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = F.filter(F.split(F.lower(text), " "), lambda t: F.length(t) > 0)
+    stops = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    return F.round(stops / F.greatest(F.size(toks), F.lit(1)), 4)
