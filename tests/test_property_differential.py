@@ -20,6 +20,9 @@ TOKENS = [
     "ssh", "ftp", "code=503", "code=200", "retry", "Refused", "sudo",
     "login failed", "exec", "d41d8cd98f00b204e9800998ecf8427e",
     "the", "quarterly", "report", "naïve", "日本語",
+    # P10/P11 token fragments, including partial combos that must NOT fire
+    "connection from 10.1.2.3 port 8443 proto TCP",
+    "connection from 10.9.8.7", "port 8080", "proto udp", "10.0.0.1",
 ]
 
 ROLES = ["user", "assistant", "tool", "system"]
@@ -51,6 +54,19 @@ def transcripts(draw) -> pd.DataFrame:
     return pdf
 
 
+def _diff_random(spark, pdf, ruleset):
+    want = run_oracle(pdf, ruleset)
+    df = spark.createDataFrame(pdf)
+    df = df.withColumn("ts", df.ts.cast("timestamp_ntz"))
+    alerts = pipeline.build_alerts(spark, df, ruleset, persist_intermediate=False)
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.sid, r.text)
+        for r in alerts.select("conv_id", "turn_idx", "sid", "text").collect()
+    )
+    expect = sorted((a["conv_id"], a["turn_idx"], a["sid"], a["text"]) for a in want.alerts)
+    assert got == expect
+
+
 @settings(
     max_examples=10,
     deadline=None,
@@ -58,13 +74,58 @@ def transcripts(draw) -> pd.DataFrame:
 )
 @given(transcripts())
 def test_engine_equals_oracle_on_random_data(spark, pdf):
-    want = run_oracle(pdf, CANONICAL)
-    df = spark.createDataFrame(pdf)
-    df = df.withColumn("ts", df.ts.cast("timestamp_ntz"))
-    alerts = pipeline.build_alerts(spark, df, CANONICAL, persist_intermediate=False)
-    got = sorted(
-        (r.conv_id, r.turn_idx, r.sid, r.text)
-        for r in alerts.select("conv_id", "turn_idx", "sid", "text").collect()
+    _diff_random(spark, pdf, CANONICAL)
+
+
+# round-2 semantics under random data: role-tracked counters (global,
+# ts-ordered across conversations), not_in on an optional grok field
+# (missing field must fail), and optional/required token mixes
+from sagan_spark.rules.model import (  # noqa: E402
+    AfterSpec,
+    ContentSpec,
+    FieldCond,
+    GrokSpec,
+    Rule,
+    RuleSet,
+    TokenSpec,
+)
+
+EXTENDED = RuleSet(
+    CANONICAL.rules
+    + (
+        Rule(
+            sid=3000001,
+            msg="role-wide retry window",
+            sink="fast",
+            contents=(ContentSpec("retry"),),
+            after=AfterSpec(track="role", count=2, seconds=900),
+        ),
+        Rule(
+            sid=3000002,
+            msg="non-2xx code",
+            sink="eve",
+            groks=(GrokSpec(r"code=(?P<code>\d+)", required=False),),
+            field_conds=(FieldCond("code", "not_in", ("200", "204")),),
+            fast_pattern=("code=", False),
+        ),
+        Rule(
+            sid=3000003,
+            msg="ip with optional port",
+            sink="syslog",
+            tokens=(
+                TokenSpec("src_ip", "ip", 1, required=True),
+                TokenSpec("port", "port", 1, required=False),
+            ),
+        ),
     )
-    expect = sorted((a["conv_id"], a["turn_idx"], a["sid"], a["text"]) for a in want.alerts)
-    assert got == expect
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(transcripts())
+def test_engine_equals_oracle_round2_semantics(spark, pdf):
+    _diff_random(spark, pdf, EXTENDED)
