@@ -131,6 +131,59 @@ def _replay_batch_incremental(
     return emit_rows
 
 
+def _make_role_state_fn(role_rules: dict[int, Rule], out_cols: list[str]):
+    """track="role" (by_username) streaming counters, keyed by role.
+
+    Ordering semantics: ts-sorted WITHIN a micro-batch, arrival order
+    ACROSS batches — the exact analogue of the reference's mmap counters,
+    which count in arrival order ([PUB src/after.c]). The batch engine
+    replays in global event-time order instead, so streaming ≡ batch holds
+    exactly when the source delivers in event-time order (append-only
+    logs); out-of-order arrival shifts which events of a window emit, the
+    same way it does in the reference. Role keys are few and never idle,
+    so no TTL/late policy on this branch (conversation-scoped concepts)."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        counters = (
+            {int(k): tuple(v) for k, v in json.loads(state.get[0]).items()}
+            if state.exists
+            else {}
+        )
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        outs = []
+        if parts:
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+            pdf = pdf.sort_values(["ts", "conv_id", "turn_idx", "sid"], kind="mergesort")
+            ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64") / 1_000_000.0
+            sid = pdf["sid"].to_numpy()
+            keep = []
+            for i in range(len(pdf)):
+                rule = role_rules[int(sid[i])]
+                spec = rule.after or rule.threshold
+                t = ts[i]
+                ws, cnt = counters.get(rule.sid, (None, 0))
+                if ws is None or t > ws + spec.seconds:
+                    ws, cnt = t, 1
+                else:
+                    cnt += 1
+                counters[rule.sid] = (ws, cnt)
+                if rule.after is not None:
+                    emit = cnt > rule.after.count
+                elif spec.type in ("limit", "suppress"):
+                    emit = cnt <= spec.count
+                else:
+                    emit = cnt % spec.count == 0
+                if emit:
+                    keep.append(pdf.index[i])
+            if keep:
+                outs.append(pdf.loc[keep, out_cols])
+        state.update((json.dumps({str(k): v for k, v in counters.items()}),))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return fn
+
+
 def _make_state_fn(ruleset: RuleSet, out_cols: list[str], ttl_minutes: int | None = None):
     """State function with two production policies (SURVEY §2.7):
 
@@ -204,11 +257,6 @@ def build_stream(
     from ..packaging import ensure_shipped
 
     ensure_shipped(spark)
-    if any(r.stateful and r.track == "role" for r in ruleset.rules):
-        # GroupState here is keyed by conv_id; global per-role counters
-        # would need a second applyInPandasWithState keyed by role — loud
-        # rejection beats silently-wrong scoping (batch path supports it).
-        raise NotImplementedError("track=role rules are batch-only for now")
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -222,7 +270,9 @@ def build_stream(
         dimsmod.risk_ranges(spark),
     )
 
-    stateful_sids = [r.sid for r in ruleset.rules if r.stateful]
+    role_rules = {r.sid: r for r in ruleset.rules if r.stateful and r.track == "role"}
+    conv_sids = [r.sid for r in ruleset.rules if r.stateful and r.sid not in role_rules]
+    stateful_sids = conv_sids + list(role_rules)
     correlated = enriched
     if stateful_sids:
         # extracted (map) is dropped through the state path: Arrow state
@@ -230,23 +280,38 @@ def build_stream(
         # canonical rule extracts fields. Re-attachable via grok re-run if
         # a rule set ever needs both.
         stateless = enriched.filter(~enriched.sid.isin(stateful_sids)).drop("extracted")
-        stateful = enriched.filter(enriched.sid.isin(stateful_sids)).drop("extracted")
-        out_schema = stateful.schema
+        out_schema = stateless.schema
+        out_cols = [f.name for f in out_schema.fields]
         timeout = (
             GroupStateTimeout.ProcessingTimeTimeout
             if state_ttl_minutes is not None
             else GroupStateTimeout.NoTimeout
         )
-        replayed = stateful.groupBy("conv_id").applyInPandasWithState(
-            _make_state_fn(
-                ruleset, [f.name for f in out_schema.fields], state_ttl_minutes
-            ),
-            outputStructType=out_schema,
-            stateStructType=STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=timeout,
-        )
-        correlated = stateless.unionByName(replayed)
+        correlated = stateless
+        if conv_sids:
+            conv_stateful = enriched.filter(enriched.sid.isin(conv_sids)).drop("extracted")
+            replayed = conv_stateful.groupBy("conv_id").applyInPandasWithState(
+                _make_state_fn(ruleset, out_cols, state_ttl_minutes),
+                outputStructType=out_schema,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=timeout,
+            )
+            correlated = correlated.unionByName(replayed)
+        if role_rules:
+            # second stateful operator, keyed by the track column (role):
+            # the streaming twin of correlate's role-keyed batch branch
+            role_stateful = enriched.filter(
+                enriched.sid.isin(list(role_rules))
+            ).drop("extracted")
+            role_replayed = role_stateful.groupBy("role").applyInPandasWithState(
+                _make_role_state_fn(role_rules, out_cols),
+                outputStructType=out_schema,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            correlated = correlated.unionByName(role_replayed)
     return route.attach_rule_meta(correlated, ruleset)
 
 

@@ -128,6 +128,56 @@ def test_no_ttl_keeps_state(spark, tmp_path):
     assert ("convA", 1) in _fired_1000012(spark, out), "flexbit state lost without TTL"
 
 
+def test_streaming_role_track_ordered_equals_batch(spark, tmp_path):
+    """Role-tracked (by_username) counters in streaming: arrival-order
+    semantics match the batch engine's event-time replay when the source
+    delivers in event-time order — verified against the batch pipeline."""
+    from sagan_spark.engine import pipeline as batch_pipeline
+    from sagan_spark.rules.model import AfterSpec, ContentSpec, Rule, RuleSet
+
+    rs = RuleSet(
+        (
+            Rule(
+                sid=4000001,
+                msg="role-wide retry window",
+                sink="fast",
+                contents=(ContentSpec("retry",),),
+                after=AfterSpec(track="role", count=2, seconds=900),
+            ),
+        )
+    )
+    RETRY_TXT = "transient failure, scheduling a retry with backoff"
+    in_dir, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    os.makedirs(in_dir)
+    q = stream_pipeline.run_stream(spark, in_dir, out, ck, ruleset=rs, max_files_per_trigger=1)
+    try:
+        _write(
+            [("convA", 0, RETRY_TXT, 0), ("convA", 1, RETRY_TXT, 10)],
+            os.path.join(in_dir, "f1.parquet"),
+        )
+        q.processAllAvailable()
+        _write(
+            [("convB", 0, RETRY_TXT, 100), ("convB", 1, RETRY_TXT, 110)],
+            os.path.join(in_dir, "f2.parquet"),
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.conv_id, r.turn_idx)
+        for r in spark.read.parquet(os.path.join(out, "fast"))
+        .filter("sid = 4000001")
+        .collect()
+    )
+    ref = batch_pipeline.run(spark, in_dir, rs)
+    want = sorted(
+        (r.conv_id, r.turn_idx)
+        for r in ref.alerts.select("conv_id", "turn_idx").collect()
+    )
+    ref.unpersist()
+    assert got == want == [("convB", 0), ("convB", 1)], (got, want)
+
+
 def test_late_turn_dropped_not_replayed(spark, tmp_path):
     """A turn at/below the conversation's replayed high-water mark is
     dropped (and counted in state), never replayed out of order."""
