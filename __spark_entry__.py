@@ -574,6 +574,25 @@ def q_multimodal_features(spark, sf):  # mapInPandas feature stage — checked
 _SQLABLE_SIDS = (1000001, 1000005, 1000007, 1000014)
 
 
+def q_multimodal_frames(spark, sf):  # 1→k frame-sampling explosion
+    d = _t(spark, sf, "documents")
+    frames = MM.sample_frames(MM.synthesize_media(d), n_frames=4)
+    return frames.groupBy("frame_idx").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").cast("long").alias("bytes_sum"),
+    )
+
+
+def q_multimodal_resize(spark, sf):  # pure-Column payload rewrite
+    d = _t(spark, sf, "documents")
+    resized = MM.resize_media(MM.synthesize_media(d), max_bytes=64)
+    return resized.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").cast("long").alias("bytes_sum"),
+        F.countDistinct(F.md5("payload")).alias("distinct_payloads"),
+    )
+
+
 def q_pipeline_sink_counts(spark, sf):  # E1 on mapped events, oracle-checked
     from sagan_spark.engine.pipeline import build_alerts
     from sagan_spark.rules.canonical import CANONICAL
@@ -662,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "parse_tokens_rule": q_parse_tokens_rule,
     }
@@ -1001,6 +1022,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT kind, COUNT(*) AS n,
                    CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes_sum,
                    COUNT(DISTINCT md5(text)) AS distinct_checksums
+            FROM (SELECT text,
+                         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                              ELSE 'video' END AS kind
+                  FROM documents)
+            GROUP BY kind""",
+        "multimodal_frames": """
+            WITH v AS (
+              SELECT octet_length(encode(text)) AS L
+              FROM documents WHERE doc_id % 3 = 2),
+            f AS (SELECT L, UNNEST([0, 1, 2, 3]) AS frame_idx FROM v)
+            SELECT frame_idx, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN L > frame_idx
+                            THEN (L - frame_idx + 3) // 4 ELSE 0 END) AS BIGINT)
+                     AS bytes_sum
+            FROM f GROUP BY frame_idx""",
+        "multimodal_resize": """
+            -- DuckDB can't slice BLOBs; the documents corpus is pure ASCII
+            -- (verified at every sf), so char slicing == the engine's byte
+            -- truncation and md5(encode(substr)) matches md5(payload[:64])
+            SELECT kind, COUNT(*) AS n,
+                   CAST(SUM(least(octet_length(encode(text)), 64)) AS BIGINT)
+                     AS bytes_sum,
+                   COUNT(DISTINCT md5(substring(text, 1, 64)))
+                     AS distinct_payloads
             FROM (SELECT text,
                          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                               ELSE 'video' END AS kind

@@ -105,6 +105,64 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, max_bytes: int) -> DataFrame:
+    """Resize/transcode stand-in as a PURE Column rewrite: truncate the
+    payload to ``max_bytes`` (substring slices bytes on BinaryType) and
+    update the size metadata. A real resize is a Pandas-UDF payload
+    rewrite with the same shape — but truncation needs no Python at all,
+    so it stays JVM-side (UDFs are the slow path)."""
+    resized = F.substring(F.col("payload"), 1, max_bytes)
+    return media.withColumns(
+        {"payload": resized, "n_bytes": F.octet_length(resized).cast("long")}
+    )
+
+
+def _frame_stub(payload: bytes, i: int, k: int) -> bytes:
+    """STUB frame extraction (no ffmpeg in this container): frame i of k
+    = every k-th byte starting at offset i — deterministic, so the byte
+    accounting is oracle-checkable; swap for a real decoder without
+    touching the Spark plumbing."""
+    return payload[i::k]
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling: 1 video row → ``n_frames`` frame rows via
+    mapInPandas (the row-explosion batch shape a real video pipeline
+    needs; Arrow streams bounded batches both ways). Non-video rows are
+    filtered JVM-side before the crossing."""
+    from ..packaging import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+    vids = media.filter(F.col("kind") == "video").select("media_id", "payload")
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"media_id": [], "frame_idx": [], "payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i in range(n_frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["payload"].append(_frame_stub(payload, i, n_frames))
+            frame = pd.DataFrame(out)
+            frame["frame_idx"] = frame["frame_idx"].astype("int32")
+            frame["n_bytes"] = frame["payload"].map(len).astype("int64")
+            yield frame
+
+    return vids.mapInPandas(explode_frames, schema=FRAME_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregate — binary column pruned from the scan."""
     return media.groupBy("kind").agg(
