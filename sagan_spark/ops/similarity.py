@@ -120,12 +120,57 @@ def select_centroids(
     return [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in rows]
 
 
+def _assign_cells(emb: DataFrame, cents: list, vec_col: str) -> DataFrame:
+    """Attach ``_cell`` = argmax-cosine centroid id via a broadcast
+    single-row centroid-array table (constant plan depth, zero shuffle)."""
+    spark = emb.sparkSession
+    cents_df = spark.createDataFrame(
+        [([(c, v) for c, v in cents],)],
+        "cents: array<struct<cid: int, vec: array<double>>>",
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                cosine(F.col(vec_col), c["vec"]).alias("s"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    return emb.crossJoin(F.broadcast(cents_df)).withColumn("_cell", best["cid"]).drop("cents")
+
+
+def kmeans_refine(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd refinement of the IVF centroids: assign (broadcast
+    argmax, map-only) → per-cell mean via ``dim`` plain avg aggregates
+    (map-side combine; NO posexplode — exploding n×dim rows through a
+    shuffle is the scale-killer variant). Driver traffic per iteration is
+    just ncentroids×dim means. Cells that lose all members keep their old
+    centroid. Returns refined (cid, vec) pairs with the original ids."""
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        assigned = _assign_cells(emb, cents, vec_col)
+        means = (
+            assigned.groupBy("_cell")
+            .agg(*[F.avg(F.element_at(vec_col, i + 1)).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        by_cell = {int(r["_cell"]): [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        cents = [(cid, by_cell.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame,
     q: list[float],
     k: int = 10,
     ncentroids: int = 8,
     nprobe: int = 2,
+    kmeans_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -138,31 +183,19 @@ def ivf_topk(
     cells; exact re-rank inside.
 
     Tie-break: (similarity, centroid id) lexicographic max — mirrored
-    exactly by the SQL oracle's ORDER BY sim DESC, cid DESC."""
+    exactly by the SQL oracle's ORDER BY sim DESC, cid DESC.
+
+    ``kmeans_iters`` > 0 runs Lloyd refinement (kmeans_refine) on the
+    sampled centroids first — tighter cells, better recall at the same
+    nprobe; the default 0 keeps the query SQL-oracle-reproducible."""
     cents = select_centroids(emb, ncentroids, id_col, vec_col)
-    spark = emb.sparkSession
-    cents_df = spark.createDataFrame(
-        [([(c, v) for c, v in cents],)],
-        "cents: array<struct<cid: int, vec: array<double>>>",
-    )
+    if kmeans_iters:
+        cents = kmeans_refine(emb, cents, iters=kmeans_iters, vec_col=vec_col)
     qn = float(np.linalg.norm(q))
     probe = sorted(
         cents, key=lambda cv: (-float(np.dot(q, cv[1]) / (qn * np.linalg.norm(cv[1]))), -cv[0])
     )[:nprobe]
     probe_ids = [c for c, _ in probe]
-
-    best = F.array_max(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                cosine(F.col(vec_col), c["vec"]).alias("s"), c["cid"].alias("cid")
-            ),
-        )
-    )
-    cell = (
-        emb.crossJoin(F.broadcast(cents_df))
-        .withColumn("_cell", best["cid"])
-        .drop("cents")
-    )
+    cell = _assign_cells(emb, cents, vec_col)
     pruned = cell.where(F.col("_cell").isin(probe_ids)).drop("_cell")
     return brute_topk(pruned, q, k, id_col, vec_col)

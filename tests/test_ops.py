@@ -64,6 +64,24 @@ def test_ivf_topk_recall_floor(emb):
     assert _recall(approx, exact) >= 0.7
 
 
+def test_ivf_kmeans_refinement_preserves_recall(emb):
+    """Lloyd iterations must not degrade recall below the unrefined floor
+    (tighter cells generally improve it), and centroids must actually move."""
+    q = _q(emb)
+    rest = emb.where(F.col("vec_id") != 0)
+    cents0 = SIM.select_centroids(rest, 8)
+    cents2 = SIM.kmeans_refine(rest, cents0, iters=2)
+    assert [c for c, _ in cents2] == [c for c, _ in cents0]
+    moved = sum(
+        1 for (_, a), (_, b) in zip(cents0, cents2)
+        if max(abs(x - y) for x, y in zip(a, b)) > 1e-9
+    )
+    assert moved >= 6, f"only {moved}/8 centroids moved"
+    exact = SIM.brute_topk(rest, q, k=10)
+    approx = SIM.ivf_topk(rest, q, k=10, ncentroids=8, nprobe=2, kmeans_iters=2)
+    assert _recall(approx, exact) >= 0.7
+
+
 def test_ivf_probes_fewer_rows_than_corpus(emb):
     """The IVF prune must actually prune (the point of the index)."""
     q = _q(emb)
