@@ -134,6 +134,9 @@ def main() -> None:
         "ann_lsh_topk",
         "quality_score",
         "multimodal_features",
+        "multimodal_frames",
+        "embedding_near_dups",
+        "parse_tokens_rule",
         "pipeline_sink_counts",
     ):
         if only_set is not None and name not in only_set:
