@@ -103,6 +103,8 @@ def _replay_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.DataF
                         emit = cnt <= th.count
                     elif th.type == "threshold":
                         emit = cnt % th.count == 0
+                    elif th.type == "both":
+                        emit = cnt == th.count
                     else:
                         raise ValueError(th.type)
             for fb in rule.flexbits:
@@ -152,8 +154,12 @@ def _replay_role_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.
             emit = cnt > rule.after.count
         elif spec.type in ("limit", "suppress"):
             emit = cnt <= spec.count
-        else:
+        elif spec.type == "threshold":
             emit = cnt % spec.count == 0
+        elif spec.type == "both":
+            emit = cnt == spec.count
+        else:
+            raise ValueError(spec.type)
         fires[k] = emit
     return pdf.loc[fires]
 

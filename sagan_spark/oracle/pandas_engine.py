@@ -159,8 +159,12 @@ def _role_track_decisions(df: pd.DataFrame, rules: tuple[Rule, ...]) -> dict:
             emit = cnt > rule.after.count
         elif spec.type in ("limit", "suppress"):
             emit = cnt <= spec.count
-        else:
+        elif spec.type == "threshold":
             emit = cnt % spec.count == 0
+        elif spec.type == "both":
+            emit = cnt == spec.count
+        else:
+            raise ValueError(spec.type)
         decisions[(label, sid)] = emit
     return decisions
 
@@ -236,8 +240,12 @@ def run_oracle(df: pd.DataFrame, ruleset: RuleSet) -> OracleResult:
                     emit = cnt > rule.after.count
                 elif rule.threshold.type in ("limit", "suppress"):
                     emit = cnt <= rule.threshold.count
-                else:
+                elif rule.threshold.type == "threshold":
                     emit = cnt % rule.threshold.count == 0
+                elif rule.threshold.type == "both":
+                    emit = cnt == rule.threshold.count
+                else:
+                    raise ValueError(rule.threshold.type)
             for fb in rule.flexbits:
                 if fb.action in ("set", "unset"):
                     pending_sets.append(

@@ -192,9 +192,10 @@ class ThresholdSpec:
     """`threshold: type T, track K, count C, seconds S`
     ([PUB src/threshold.c], C2). Same reset-window counter as AfterSpec.
     limit → alert iff count <= C; threshold → iff count % C == 0;
-    suppress → iff count <= C (drop beyond)."""
+    suppress → iff count <= C (drop beyond); both → exactly once per
+    window, when the count reaches C."""
 
-    type: str  # "limit" | "threshold" | "suppress"
+    type: str  # "limit" | "threshold" | "suppress" | "both"
     track: str
     count: int
     seconds: int
@@ -292,7 +293,20 @@ class RuleSet:
 
     def __post_init__(self) -> None:
         by_sid = {r.sid: r for r in self.rules}
+        if len(by_sid) != len(self.rules):
+            seen: set[int] = set()
+            dup = next(r.sid for r in self.rules if r.sid in seen or seen.add(r.sid))
+            raise ValueError(f"duplicate sid {dup} in rule set")
         for r in self.rules:
+            if r.threshold is not None and r.threshold.type not in (
+                "limit", "threshold", "suppress", "both",
+            ):
+                raise ValueError(f"sid {r.sid}: unknown threshold type {r.threshold.type!r}")
+            for tk in r.tokens:
+                if tk.kind not in ("ip", "port", "proto"):
+                    raise ValueError(f"sid {r.sid}: unknown token kind {tk.kind!r}")
+                if tk.position < 1:
+                    raise ValueError(f"sid {r.sid}: token position must be >= 1")
             spec = r.after or r.threshold
             if spec is not None:
                 if spec.track not in ("conv_id", "role"):

@@ -217,8 +217,13 @@ def parse_rule(line: str) -> Rule:
             name, _, val = v.partition("=")
             defaults.append((name.strip(), val.strip()))
         elif k == "alert_time":
-            lo, _, hi = v.partition("-")
-            kw["alert_time"] = AlertTime(int(lo), int(hi))
+            # alert_time:8-18  or  alert_time:8-18,1|2|3|4|5 (ISO weekdays)
+            hours, _, days = v.partition(",")
+            lo, _, hi = hours.partition("-")
+            dayspec = (
+                tuple(int(x) for x in days.strip().split("|")) if days.strip() else None
+            )
+            kw["alert_time"] = AlertTime(int(lo), int(hi), days=dayspec)
         elif k == "after":
             d = _parse_counter(v)
             kw["after"] = AfterSpec(track=d.get("track", "conv_id"), count=d["count"], seconds=d["seconds"])

@@ -113,8 +113,12 @@ def _replay_batch_incremental(
                     th = rule.threshold
                     if th.type in ("limit", "suppress"):
                         emit = cnt <= th.count
-                    else:
+                    elif th.type == "threshold":
                         emit = cnt % th.count == 0
+                    elif th.type == "both":
+                        emit = cnt == th.count
+                    else:
+                        raise ValueError(th.type)
             for fb in rule.flexbits:
                 if fb.action in ("set", "unset"):
                     pending_sets.append(
@@ -171,8 +175,12 @@ def _make_role_state_fn(role_rules: dict[int, Rule], out_cols: list[str]):
                     emit = cnt > rule.after.count
                 elif spec.type in ("limit", "suppress"):
                     emit = cnt <= spec.count
-                else:
+                elif spec.type == "threshold":
                     emit = cnt % spec.count == 0
+                elif spec.type == "both":
+                    emit = cnt == spec.count
+                else:
+                    raise ValueError(spec.type)
                 if emit:
                     keep.append(pdf.index[i])
             if keep:

@@ -214,6 +214,51 @@ def test_bluedot_unfolded_path(spark, tiny_path, tiny_pdf):
 # ---------------------------------------------------------------------------
 
 
+def test_threshold_both_differential(spark, tiny_path, tiny_pdf):
+    """type both: exactly one alert per window, when the count REACHES C."""
+    rs = RuleSet(
+        (
+            Rule(
+                sid=2000030,
+                msg="third retry in window",
+                sink="fast",
+                contents=(ContentSpec("retry"),),
+                threshold=ThresholdSpec(type="both", track="conv_id", count=3, seconds=600),
+            ),
+        )
+    )
+    ora = _diff(spark, tiny_path, tiny_pdf, rs)
+    n = ora.sid_counts.get(2000030, 0)
+    assert n > 0
+    raw = tiny_pdf["text"].str.contains("retry", regex=False).sum()
+    assert n < raw / 3 + 1, "both must emit at most once per window"
+
+
+def test_alert_time_days_parse_and_differential(spark, tiny_path, tiny_pdf):
+    from sagan_spark.rules.parser import parse_rule
+
+    rule = parse_rule(
+        'alert any any -> any any (msg:"weekday retries"; sid:2000031; '
+        'content:"retry"; alert_time:8-18,1|2|3|4|5; sink:fast;)'
+    )
+    assert rule.alert_time.days == (1, 2, 3, 4, 5)
+    ora = _diff(spark, tiny_path, tiny_pdf, RuleSet((rule,)))
+    n = ora.sid_counts.get(2000031, 0)
+    assert n > 0
+    for a in ora.alerts:
+        assert 8 <= a["ts"].hour <= 18 and a["ts"].weekday() + 1 <= 5
+
+
+def test_ruleset_rejects_duplicate_sids():
+    with pytest.raises(ValueError, match="duplicate sid"):
+        RuleSet(
+            (
+                Rule(sid=1, msg="a", sink="fast", contents=(ContentSpec("x"),)),
+                Rule(sid=1, msg="b", sink="fast", contents=(ContentSpec("y"),)),
+            )
+        )
+
+
 def test_ruleset_rejects_unknown_track():
     with pytest.raises(ValueError, match="unsupported track"):
         RuleSet(
