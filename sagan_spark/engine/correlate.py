@@ -43,6 +43,30 @@ from pyspark.sql import DataFrame
 from ..rules.model import Rule, RuleSet
 
 
+def counter_emit(rule: Rule, counters: dict, key, t: float) -> bool:
+    """Shared reset-window counter update + emission decision for
+    after/threshold — the ONE implementation used by every engine replay
+    site (batch conv/role, streaming conv/role). The pandas oracle keeps
+    its own independent copy on purpose (differential tests stay
+    meaningful). Mutates ``counters[key]``."""
+    spec = rule.after or rule.threshold
+    ws, cnt = counters.get(key, (None, 0))
+    if ws is None or t > ws + spec.seconds:
+        ws, cnt = t, 1
+    else:
+        cnt += 1
+    counters[key] = (ws, cnt)
+    if rule.after is not None:
+        return cnt > rule.after.count
+    if spec.type in ("limit", "suppress"):
+        return cnt <= spec.count
+    if spec.type == "threshold":
+        return cnt % spec.count == 0
+    if spec.type == "both":
+        return cnt == spec.count
+    raise ValueError(spec.type)
+
+
 def _replay_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.DataFrame:
     """Replay one hash-partition of alerts, pre-sorted by
     (conv_id, turn_idx, sid). Rows of non-stateful sids pass through
@@ -87,26 +111,8 @@ def _replay_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.DataF
             if not detected:
                 continue
             emit = True
-            spec = rule.after or rule.threshold
-            if spec is not None:
-                ws, cnt = counters.get(rule.sid, (None, 0))
-                if ws is None or t > ws + spec.seconds:
-                    ws, cnt = t, 1
-                else:
-                    cnt += 1
-                counters[rule.sid] = (ws, cnt)
-                if rule.after is not None:
-                    emit = cnt > rule.after.count
-                else:
-                    th = rule.threshold
-                    if th.type in ("limit", "suppress"):
-                        emit = cnt <= th.count
-                    elif th.type == "threshold":
-                        emit = cnt % th.count == 0
-                    elif th.type == "both":
-                        emit = cnt == th.count
-                    else:
-                        raise ValueError(th.type)
+            if (rule.after or rule.threshold) is not None:
+                emit = counter_emit(rule, counters, rule.sid, t)
             for fb in rule.flexbits:
                 if fb.action in ("set", "unset"):
                     pending_sets.append(
@@ -142,25 +148,7 @@ def _replay_role_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.
             counters = {}
             cur_key = key[k]
         rule = rules_by_sid[int(sid[k])]
-        t = ts[k]
-        spec = rule.after or rule.threshold
-        ws, cnt = counters.get(rule.sid, (None, 0))
-        if ws is None or t > ws + spec.seconds:
-            ws, cnt = t, 1
-        else:
-            cnt += 1
-        counters[rule.sid] = (ws, cnt)
-        if rule.after is not None:
-            emit = cnt > rule.after.count
-        elif spec.type in ("limit", "suppress"):
-            emit = cnt <= spec.count
-        elif spec.type == "threshold":
-            emit = cnt % spec.count == 0
-        elif spec.type == "both":
-            emit = cnt == spec.count
-        else:
-            raise ValueError(spec.type)
-        fires[k] = emit
+        fires[k] = counter_emit(rule, counters, rule.sid, ts[k])
     return pdf.loc[fires]
 
 

@@ -207,7 +207,7 @@ def _rule_mask(rule: Rule, pdf: pd.DataFrame, folded) -> np.ndarray:
             mask &= text.str.contains(compile_re(h.regex)).to_numpy()
     for tk in rule.tokens:
         if tk.required:
-            mask &= (text.str.count(tk.regex) >= tk.position).to_numpy()
+            mask &= (text.str.count(compile_re(tk.regex)) >= tk.position).to_numpy()
 
     # exact chain semantics on the (few) remaining candidates
     if has_chain and mask.any():
@@ -235,7 +235,7 @@ def _extract(rule: Rule, sub: pd.DataFrame) -> pd.Series:
         ext.columns = [h.kind]
         frames.append(ext)
     for tk in rule.tokens:
-        vals = sub["text"].str.findall(tk.regex).str[tk.position - 1]
+        vals = sub["text"].str.findall(compile_re(tk.regex)).str[tk.position - 1]
         if tk.kind == "proto":
             vals = vals.str.lower()
         frames.append(vals.to_frame(name=tk.field))
@@ -353,11 +353,10 @@ def _java_safe_pcre(p) -> bool:
     ., ^, $, alternation, standard quantifiers, plain/(?:)/(?ism) groups,
     flags i/s/m.
 
-    Known residual divergence: with flag "i", Python folds a few non-ASCII
-    characters onto ASCII letters (ſ→s, K→k, ı→i) where Java's default
-    (?i) does not. A rule set that must match such text exactly should
-    avoid "i" on those letters or force the UDF path (e.g. a named group).
-    The engine≡oracle differential tests would surface any such case."""
+    Python-side compilation pins re.ASCII (rules/eval.compile_re), so
+    class and case-fold semantics match Java's defaults on both paths —
+    including the historical (?i) non-ASCII folds (ſ→s, K→k) which ASCII
+    mode disables. The engine≡oracle differential tests guard this."""
     pat = p.pattern
     if not _ascii(pat) or not set(p.flags) <= {"i", "s", "m"}:
         return False
@@ -372,9 +371,18 @@ def _java_safe_pcre(p) -> bool:
 def native_compilable(rule: Rule) -> bool:
     if rule.groks or rule.field_conds:
         return False
-    # optional (required=False) tokens stay on the UDF path: the native map
-    # would carry a key→NULL entry where the oracle omits the key entirely
+    # optional (required=False) tokens/hashes stay on the UDF path: the
+    # native map would carry a key→NULL/'' entry where the oracle omits
+    # the key entirely
     if any(not tk.required for tk in rule.tokens):
+        return False
+    if any(not h.required for h in rule.hashes):
+        return False
+    # a default whose name collides with an extractor key needs the
+    # setdefault semantics only the UDF path implements (the native
+    # map_from_arrays would hit Spark's duplicate-map-key policy)
+    keys = {h.kind for h in rule.hashes} | {tk.field for tk in rule.tokens}
+    if any(f in keys for f, _ in rule.defaults):
         return False
     if any(not _java_safe_pcre(p) for p in rule.pcres):
         return False
@@ -463,6 +471,8 @@ def _native_extracted(rule: Rule) -> F.Column:
         if tk.kind == "proto":
             val = F.lower(val)
         entries += [F.lit(tk.field), val]
+    for fname, default in rule.defaults:
+        entries += [F.lit(fname), F.lit(default)]
     if not entries:
         return F.create_map().cast("map<string,string>")
     return F.map_from_arrays(

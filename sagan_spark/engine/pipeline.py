@@ -44,6 +44,12 @@ class PipelineResult:
 
     def unpersist(self) -> None:
         self.alerts.unpersist()
+        # release the enriched intermediate build_alerts persisted for
+        # role-tracked / split-scope rule sets (long-lived sessions would
+        # otherwise accumulate one cached DataFrame per run)
+        inner = getattr(self.alerts, "_sagan_persisted", None)
+        if inner is not None:
+            inner.unpersist()
 
 
 def build_alerts(
@@ -86,10 +92,15 @@ def build_alerts(
     # a role-keyed replay branch — dual consumers of the match subtree, so
     # persist it (MapInPandas subtrees are never exchange-reuse-deduped).
     has_role_track = any(r.stateful and r.track == "role" for r in ruleset.rules)
+    persisted = None
     if (persist_intermediate or has_role_track) and any(r.stateful for r in ruleset.rules):
-        enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
+        enriched = persisted = enriched.persist(StorageLevel.MEMORY_AND_DISK)
     correlated = correlate.run_correlate(enriched, ruleset, scope=correlate_scope)
-    return route.attach_rule_meta(correlated, ruleset)
+    out = route.attach_rule_meta(correlated, ruleset)
+    if persisted is not None:
+        # hand the cache handle to callers (PipelineResult.unpersist)
+        out._sagan_persisted = persisted
+    return out
 
 
 def run(

@@ -183,6 +183,7 @@ def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.25,
     nbits: int = 8,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -200,7 +201,15 @@ def embedding_near_dups(
     nbits 16-24 at 10^9 vectors."""
     from .similarity import _hyperplanes, cosine, lsh_signature
 
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        # dim inference costs one eager first() job — pass dim explicitly
+        # in pipelines that know their embedding width
+        row = emb.select(vec_col).first()
+        if row is None:  # empty corpus → empty pair set, correct schema
+            return emb.sparkSession.createDataFrame(
+                [], "a long, b long, cos double"
+            )
+        dim = len(row[0])
     planes = _hyperplanes(dim, nbits)
     sig = emb.select(
         F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("_sig")

@@ -193,7 +193,10 @@ def ivf_topk(
         cents = kmeans_refine(emb, cents, iters=kmeans_iters, vec_col=vec_col)
     qn = float(np.linalg.norm(q))
     probe = sorted(
-        cents, key=lambda cv: (-float(np.dot(q, cv[1]) / (qn * np.linalg.norm(cv[1]))), -cv[0])
+        cents,
+        # +1e-12 keeps a zero-norm centroid/query from producing nan sort
+        # keys (nondeterministic probe order) — degrade to sim≈0 instead
+        key=lambda cv: (-float(np.dot(q, cv[1]) / (qn * np.linalg.norm(cv[1]) + 1e-12)), -cv[0]),
     )[:nprobe]
     probe_ids = [c for c, _ in probe]
     cell = _assign_cells(emb, cents, vec_col)

@@ -125,7 +125,11 @@ def _role_track_decisions(df: pd.DataFrame, rules: tuple[Rule, ...]) -> dict:
     role_rules = [r for r in rules if r.stateful and r.track == "role"]
     if not role_rules:
         return decisions
-    events: list[tuple] = []  # (role_key, t, conv_id, turn_idx, sid, row_label)
+    # sort key mirrors Spark's NULLS FIRST ordering and the counter key is
+    # the ACTUAL role value — a null role is its own track key, distinct
+    # from an empty-string role (the engine's repartition("role") groups
+    # them separately too)
+    events: list[tuple] = []  # (sortable_role, t, conv_id, turn_idx, sid, label, role)
     for i, row in df.iterrows():
         ts: pd.Timestamp = row["ts"]
         hour, dow = ts.hour, ts.weekday() + 1
@@ -141,12 +145,20 @@ def _role_track_decisions(df: pd.DataFrame, rules: tuple[Rule, ...]) -> dict:
             if not _enrich_pass(rule, rrow):
                 continue
             events.append(
-                (row["role"] or "", ts.value / 1e9, row["conv_id"], int(row["turn_idx"]), rule.sid, i)
+                (
+                    (row["role"] is not None, row["role"] or ""),
+                    ts.value / 1e9,
+                    row["conv_id"],
+                    int(row["turn_idx"]),
+                    rule.sid,
+                    i,
+                    row["role"],
+                )
             )
     events.sort(key=lambda e: e[:5])
-    counters: dict[tuple[str, int], tuple[float, int]] = {}
+    counters: dict[tuple, tuple[float, int]] = {}
     by_sid = {r.sid: r for r in role_rules}
-    for key, t, _conv, _turn, sid, label in events:
+    for _skey, t, _conv, _turn, sid, label, key in events:
         rule = by_sid[sid]
         spec = rule.after or rule.threshold
         ws, cnt = counters.get((key, sid), (None, 0))

@@ -20,7 +20,14 @@ _FLAGMAP = {"i": re.IGNORECASE, "s": re.DOTALL, "m": re.MULTILINE}
 
 @lru_cache(maxsize=4096)
 def compile_re(pattern: str, flags: str = "") -> re.Pattern:
-    f = 0
+    """Compile a rule regex with ASCII class semantics (re.ASCII).
+
+    Defined engine semantics: \\w \\d \\s \\b are ASCII-only — matching
+    libpcre's byte-oriented default and Java regex's default, so the
+    native rlike path, the vectorized Python path and the oracle agree on
+    non-ASCII text (Python's default Unicode classes would make \\b/\\d
+    diverge from the JVM around multibyte characters)."""
+    f = re.ASCII
     for ch in flags:
         f |= _FLAGMAP[ch]
     return re.compile(pattern, f)
@@ -29,10 +36,10 @@ def compile_re(pattern: str, flags: str = "") -> re.Pattern:
 @lru_cache(maxsize=4096)
 def meta_regex(template: str, values: tuple[str, ...], nocase: bool) -> re.Pattern:
     """meta_content '%sagan%' template + value list → one alternation regex
-    compiled at load (SURVEY §2.2 P9)."""
+    compiled at load (SURVEY §2.2 P9). ASCII classes per compile_re."""
     alt = "(?:" + "|".join(re.escape(v) for v in values) + ")"
     pat = re.escape(template).replace(re.escape("%sagan%"), alt)
-    return re.compile(pat, re.IGNORECASE if nocase else 0)
+    return re.compile(pat, re.ASCII | (re.IGNORECASE if nocase else 0))
 
 
 def match_contents(rule: Rule, text: str) -> bool:

@@ -46,12 +46,14 @@ from .model import (
 
 # parse_src_ip / parse_dst_ip / parse_port / parse_proto rule keywords
 # ([PUB src/parsers/parse-ip.c, parse-port.c, parse-proto.c], P10/P11):
-# keyword → (extracted field, token kind)
+# keyword → (extracted field, token kind, default position). Bare
+# parse_dst_ip takes the SECOND address — "connection from A to B" reads
+# naturally, matching the reference's src/dst convention.
 _TOKEN_KW = {
-    "parse_src_ip": ("src_ip", "ip"),
-    "parse_dst_ip": ("dst_ip", "ip"),
-    "parse_port": ("port", "port"),
-    "parse_proto": ("proto", "proto"),
+    "parse_src_ip": ("src_ip", "ip", 1),
+    "parse_dst_ip": ("dst_ip", "ip", 2),
+    "parse_port": ("port", "port", 1),
+    "parse_proto": ("proto", "proto", 1),
 }
 
 _HEADER = re.compile(r"^\s*alert\s+\S+\s+\S+\s*->\s*\S+\s+\S+\s*\((.*)\)\s*$", re.DOTALL)
@@ -193,8 +195,8 @@ def parse_rule(line: str) -> Rule:
         elif k == "parse_hash":
             hashes.append(HashSpec(_unquote(v)))
         elif k in _TOKEN_KW:
-            fieldname, kind = _TOKEN_KW[k]
-            tokens.append(TokenSpec(fieldname, kind, position=int(v) if v else 1))
+            fieldname, kind, default_pos = _TOKEN_KW[k]
+            tokens.append(TokenSpec(fieldname, kind, position=int(v) if v else default_pos))
         elif k == "level":
             # level:0|1|2 — syslog level/priority prefilter (P2). Payload
             # transposition: level ↔ role_dim.trust_level (a total function

@@ -47,6 +47,7 @@ from pyspark.sql.types import (
 
 from ..datagen import dims as dimsmod
 from ..engine import enrich, match, route
+from ..engine.correlate import counter_emit
 from ..rules.canonical import CANONICAL
 from ..rules.model import Rule, RuleSet
 
@@ -99,26 +100,8 @@ def _replay_batch_incremental(
             if not detected:
                 continue
             emit = True
-            spec = rule.after or rule.threshold
-            if spec is not None:
-                ws, cnt = counters.get(str(rule.sid), (None, 0))
-                if ws is None or t > ws + spec.seconds:
-                    ws, cnt = t, 1
-                else:
-                    cnt += 1
-                counters[str(rule.sid)] = (ws, cnt)
-                if rule.after is not None:
-                    emit = cnt > rule.after.count
-                else:
-                    th = rule.threshold
-                    if th.type in ("limit", "suppress"):
-                        emit = cnt <= th.count
-                    elif th.type == "threshold":
-                        emit = cnt % th.count == 0
-                    elif th.type == "both":
-                        emit = cnt == th.count
-                    else:
-                        raise ValueError(th.type)
+            if (rule.after or rule.threshold) is not None:
+                emit = counter_emit(rule, counters, str(rule.sid), t)
             for fb in rule.flexbits:
                 if fb.action in ("set", "unset"):
                     pending_sets.append(
@@ -163,25 +146,7 @@ def _make_role_state_fn(role_rules: dict[int, Rule], out_cols: list[str]):
             keep = []
             for i in range(len(pdf)):
                 rule = role_rules[int(sid[i])]
-                spec = rule.after or rule.threshold
-                t = ts[i]
-                ws, cnt = counters.get(rule.sid, (None, 0))
-                if ws is None or t > ws + spec.seconds:
-                    ws, cnt = t, 1
-                else:
-                    cnt += 1
-                counters[rule.sid] = (ws, cnt)
-                if rule.after is not None:
-                    emit = cnt > rule.after.count
-                elif spec.type in ("limit", "suppress"):
-                    emit = cnt <= spec.count
-                elif spec.type == "threshold":
-                    emit = cnt % spec.count == 0
-                elif spec.type == "both":
-                    emit = cnt == spec.count
-                else:
-                    raise ValueError(spec.type)
-                if emit:
+                if counter_emit(rule, counters, rule.sid, ts[i]):
                     keep.append(pdf.index[i])
             if keep:
                 outs.append(pdf.loc[keep, out_cols])

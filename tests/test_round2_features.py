@@ -301,6 +301,59 @@ def test_ruleset_rejects_depends_on_noalert_parent():
 
 
 # ---------------------------------------------------------------------------
+# fused / hybrid / udf match modes must agree, including extraction edges
+# ---------------------------------------------------------------------------
+
+
+def test_match_modes_equal_including_extraction(spark, tiny_path):
+    from sagan_spark.engine.match import run_match
+    from sagan_spark.rules.canonical import CANONICAL
+    from sagan_spark.rules.model import HashSpec
+
+    rs = RuleSet(
+        CANONICAL.rules
+        + (
+            # native-compilable WITH defaults (the hybrid regression case)
+            Rule(
+                sid=2000050,
+                msg="error with default proto",
+                sink="eve",
+                contents=(ContentSpec("error"),),
+                defaults=(("proto", "tcp"),),
+            ),
+            # optional hash → must stay on the UDF path (''-vs-missing-key)
+            Rule(
+                sid=2000051,
+                msg="retry, sha1 if present",
+                sink="fast",
+                contents=(ContentSpec("retry"),),
+                hashes=(HashSpec("sha1", required=False),),
+            ),
+        )
+    )
+    df = spark.read.parquet(tiny_path)
+    results = {}
+    for mode in ("fused", "hybrid", "udf"):
+        rows = (
+            run_match(df, rs, mode=mode)
+            .select("conv_id", "turn_idx", "sid", "extracted")
+            .collect()
+        )
+        results[mode] = sorted(
+            (r.conv_id, r.turn_idx, r.sid, tuple(sorted((r.extracted or {}).items())))
+            for r in rows
+        )
+    assert results["fused"] == results["hybrid"], "fused != hybrid"
+    assert results["fused"] == results["udf"], "fused != udf"
+    assert any(r[2] == 2000050 for r in results["fused"])
+    assert all(
+        dict(r[3]).get("proto") == "tcp"
+        for r in results["fused"]
+        if r[2] == 2000050
+    ), "defaults lost in extraction"
+
+
+# ---------------------------------------------------------------------------
 # bucketed range join: hash-join plan, BNLJ-identical results
 # ---------------------------------------------------------------------------
 
