@@ -1,4 +1,4 @@
-"""Canonical 12-rule fixture ruleset (FIXTURES.md §3) + flexbit setter.
+"""Canonical 13-rule fixture ruleset (FIXTURES.md §3) + flexbit setter.
 
 Every SURVEY.md §2 operator row has ≥1 firing and ≥1 non-firing case in
 the planted transcript fixture (datagen/transcripts.py). Golden counts
