@@ -83,6 +83,61 @@ def test_threshold_track_role_differential(spark, tiny_path, tiny_pdf):
     assert n < raw, "role-tracked limit never suppressed anything"
 
 
+def test_track_role_null_and_empty_are_distinct_keys(spark, tmp_path):
+    """A null role is its own track key, distinct from an empty-string
+    role — engine and oracle must agree on the grouping."""
+    rows = []
+    for i, role in enumerate([None, "", None, "", None, ""]):
+        rows.append(
+            {
+                "conv_id": f"c{i:02d}",
+                "turn_idx": 0,
+                "role": role,
+                "text": "transient failure, scheduling a retry with backoff",
+                "tool": "none",
+                "ts": pd.Timestamp("2025-02-01") + pd.Timedelta(seconds=30 * i),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    path = str(tmp_path / "nulls")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sagan_spark.datagen.transcripts import SCHEMA
+
+    pdf2 = pdf.copy()
+    pdf2["ts"] = pdf2["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(pdf2, schema=SCHEMA, preserve_index=False), path + ".parquet")
+    import os
+
+    os.makedirs(path)
+    os.replace(path + ".parquet", os.path.join(path, "part-0.parquet"))
+
+    rs = RuleSet(
+        (
+            Rule(
+                sid=2000007,
+                msg="role retry window",
+                sink="fast",
+                contents=(ContentSpec("retry"),),
+                after=AfterSpec(track="role", count=2, seconds=3600),
+            ),
+        )
+    )
+    res = pipeline.run(spark, path, rs)
+    ora = run_oracle(pdf, rs)
+    got = {
+        (r.conv_id, r.turn_idx) for r in res.alerts.select("conv_id", "turn_idx").collect()
+    }
+    want = {(a["conv_id"], a["turn_idx"]) for a in ora.alerts}
+    res.unpersist()
+    assert got == want
+    # two independent streams of 3 events each, count>2 → exactly the
+    # third event of EACH key fires (would be events 5&6 of a merged key)
+    assert want == {("c04", 0), ("c05", 0)}, want
+
+
 def test_track_role_mixed_with_conv_rules(spark, tiny_path, tiny_pdf):
     """Role-tracked, conv-tracked and flexbit rules coexist in one set."""
     rs = RuleSet(
