@@ -6,8 +6,9 @@ The north rule requires throughput scaling efficiency >= 0.8 between N and
 instruction the proxy is the SAME job on the SAME input at two parallelism
 levels: local[8] vs local[32] (N=8 cores -> 4N=32). Each leg is a separate
 JVM via subprocess (master can't change in-process). We run each leg
-``--repeats`` times and take the MEDIAN (this box shows ±20% run-to-run
-noise from co-tenants).
+``--repeats`` times, INTERLEAVED (N, 4N, N, 4N, …) so noise windows hit
+both legs equally, and take the MIN per leg (this box shows ±20-100%
+run-to-run noise from kernel-side memory compaction).
 
 efficiency = (throughput@32 / throughput@8) / 4
 
@@ -32,10 +33,10 @@ def run_once(cpus: int) -> tuple[float, dict]:
             os.environ,
             SPARK_GRAFT_CPUS=str(cpus),
             # scaling is measured on the compute-representative wide rule
-            # set (57 rules): the 13-rule fixture is memory-bandwidth-bound
+            # set (58 rules): the dense fixture is memory-bandwidth-bound
             # on a single box, which says nothing about multi-node scaling
             SAGAN_BENCH_ONLY=os.environ.get("SAGAN_SCALING_QUERY", "pipeline_wide"),
-            # production-selectivity profile: 57 rules, ~1-2% of turns alert
+            # production-selectivity profile: 58 rules, ~1-2% of turns alert
             SAGAN_BENCH_PRODUCTION=os.environ.get("SAGAN_BENCH_PRODUCTION", "1"),
             SAGAN_BENCH_PLANT_SCALE=os.environ.get("SAGAN_BENCH_PLANT_SCALE", "0.02"),
             # scaling legs use a larger table than the default bench so the
@@ -172,13 +173,14 @@ Notes
   conv_id repartition of alerts; everything else is scan-parallel map
   work + broadcast joins — the plan shape that scales on a real cluster
   (see docs/SCALE.md).
-- Workload: 57-rule production-selectivity profile (rules/bulk.py,
+- Workload: 58-rule production-selectivity profile (rules/bulk.py,
   plant_scale=0.02 → ~1.2% of turns alert) — the representative regime;
   the dense correctness fixture is memory-bandwidth-bound and says
   nothing about multi-node scaling.
 - This VM shows sporadic kernel-side interference (memory compaction)
   inflating wall times 20-100%: min-of-{args.repeats} reported, raw runs shown.
 - Reproduce: `python scripts/scaling.py --repeats 3`
+- Tuning evidence and per-stage breakdowns: BENCH/TUNING.md
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
