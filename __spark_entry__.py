@@ -406,52 +406,41 @@ def q_dedup_exact(spark, sf):
     return D.exact_dedup(d).select(F.count("*").alias("groups"), F.sum("doc_id").cast("long").alias("survivor_id_sum"))
 
 
-def q_doc_fingerprint(spark, sf):
+def q_doc_fingerprint(spark, sf):  # normalized + rolling (order-sensitive)
+    # fingerprints in one entry (former rolling_fingerprint merged — see
+    # q_token_count note on the driver's 50-row window)
     d = _t(spark, sf, "documents")
-    return (
-        d.select(T.fingerprint(F.col("text")).alias("fp"))
-        .select(F.countDistinct("fp").alias("distinct_fp"))
+    return d.select(
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.rolling_fingerprint(F.col("text")).alias("rfp"),
+    ).select(
+        F.countDistinct("fp").alias("distinct_fp"),
+        F.countDistinct("rfp").alias("distinct_rfp"),
+        F.sum("rfp").cast("long").alias("rfp_sum"),
     )
 
 
-def q_token_count(spark, sf):
+def q_token_count(spark, sf):  # whitespace + BPE-ish tokenization, one row set
+    # (merged with the former token_count_bpe entry: the driver records at
+    # most 50 CORRECTNESS rows, so related operators share an entry — both
+    # token counters stay independently exercised and oracle-checked here)
     d = _t(spark, sf, "documents")
     return d.groupBy("lang").agg(
         F.sum(T.token_count(F.col("text"))).cast("long").alias("tokens"),
+        F.sum(T.token_count_bpe(F.col("text"))).cast("long").alias("tokens_bpe"),
         F.count("*").alias("docs"),
-    )
-
-
-def q_token_count_bpe(spark, sf):  # BPE-ish regex tokenization
-    d = _t(spark, sf, "documents")
-    return d.groupBy("lang").agg(
-        F.sum(T.token_count_bpe(F.col("text"))).cast("long").alias("tokens"),
-        F.count("*").alias("docs"),
-    )
-
-
-def q_rolling_fingerprint(spark, sf):  # order-sensitive doc fingerprint
-    d = _t(spark, sf, "documents")
-    fp = d.select(T.rolling_fingerprint(F.col("text")).alias("fp"))
-    return fp.select(
-        F.countDistinct("fp").alias("distinct_fp"),
-        F.sum("fp").cast("long").alias("fp_sum"),
     )
 
 
 def q_quality_battery(spark, sf):  # length/punct/stopword quality ratios
+    # + the scalar quality_score (former quality_score entry, merged — see
+    # q_token_count note on the driver's 50-row window)
     d = _t(spark, sf, "documents")
     return d.groupBy("source").agg(
         F.round(F.avg(T.alpha_ratio(F.col("text"))), 4).alias("avg_alpha"),
         F.round(F.avg(T.punct_ratio(F.col("text"))), 4).alias("avg_punct"),
         F.round(F.avg(T.stopword_ratio(F.col("text"))), 4).alias("avg_stop"),
-    )
-
-
-def q_quality_score(spark, sf):
-    d = _t(spark, sf, "documents")
-    return d.groupBy("source").agg(
-        F.round(F.avg(T.quality_score(F.col("text"))), 4).alias("avg_quality")
+        F.round(F.avg(T.quality_score(F.col("text"))), 4).alias("avg_quality"),
     )
 
 
@@ -472,9 +461,13 @@ def q_minhash_signature(spark, sf):
 
 
 def q_minhash_lsh_dups(spark, sf):
+    # max_bucket=None EXPLICITLY: the DuckDB oracle computes uncapped
+    # band-bucket pairs, so inheriting the capped default would silently
+    # break query↔oracle parity at any sf where a bucket exceeds the cap
+    # (capped behavior is oracle-checked separately via lsh_bucket_stats)
     d = _t(spark, sf, "documents")
     sig = D.minhash_signature(D.shingles(d), num_hashes=8)
-    pairs = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    pairs = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=None)
     return pairs.select(F.count("*").alias("candidate_pairs"))
 
 
@@ -482,7 +475,7 @@ def q_ngram_jaccard(spark, sf):
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
     sh = D.shingles(d)
     sig = D.minhash_signature(sh, num_hashes=8)
-    pairs = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    pairs = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=None)
     jac = D.ngram_jaccard(sh, pairs)
     return jac.select(
         F.count("*").alias("pairs"),
@@ -632,7 +625,14 @@ def q_lsh_bucket_stats(spark, sf):  # 'no silent caps': dropped-bucket count
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE driver behavior (observed r01/r02): CORRECTNESS_r{N}.json records
+    # at most the FIRST 50 entries in dict order (r02 registered 52, the
+    # last two were silently absent). The two full-pipeline entries — the
+    # flagship E1 signal — therefore come FIRST, and the total is kept at
+    # ≤50 by merging closely-related operators into shared entries.
     return {
+        "pipeline_sink_counts": q_pipeline_sink_counts,
+        "parse_tokens_rule": q_parse_tokens_rule,
         "content_filter": q_content_filter,
         "content_nocase": q_content_nocase,
         "content_offset_depth": q_content_offset_depth,
@@ -663,9 +663,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "token_count": q_token_count,
-        "token_count_bpe": q_token_count_bpe,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "quality_score": q_quality_score,
         "quality_battery": q_quality_battery,
         "lang_id": q_lang_id,
         "minhash_signature": q_minhash_signature,
@@ -683,13 +680,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
-        "pipeline_sink_counts": q_pipeline_sink_counts,
-        "parse_tokens_rule": q_parse_tokens_rule,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pipeline_sink_counts": _MAPPED_TX_SQL + """
+            SELECT sid, COUNT(*) AS n FROM (
+              SELECT CAST(1000001 AS BIGINT) AS sid FROM tx
+               WHERE role = 'assistant' AND contains(text, 'error')
+                 AND regexp_matches(text, '(?i)tool\\s+timeout')
+              UNION ALL
+              SELECT CAST(1000005 AS BIGINT) FROM tx
+               WHERE regexp_matches(text, 'code=[0-9]+')
+                 AND CAST(regexp_extract(text, 'code=([0-9]+)', 1) AS INTEGER) >= 500
+              UNION ALL
+              SELECT CAST(1000007 AS BIGINT) FROM tx WHERE role IN ('tool', 'system')
+              UNION ALL
+              SELECT CAST(1000014 AS BIGINT) FROM tx
+               WHERE contains(text, 'connection from')
+                 AND regexp_matches(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')
+                 AND regexp_matches(text, '\\bport[ :]\\d{1,5}\\b')
+                 AND regexp_matches(text, '(?i)\\b(?:tcp|udp|icmp)\\b')
+            ) GROUP BY sid""",
+        "parse_tokens_rule": _MAPPED_TX_SQL + """
+            SELECT proto, COUNT(*) AS n,
+                   COUNT(DISTINCT src_ip) AS distinct_ips,
+                   MAX(port) AS max_port
+            FROM (
+              SELECT regexp_extract(text, '\\b((?:\\d{1,3}\\.){3}\\d{1,3})\\b', 1)
+                       AS src_ip,
+                     CAST(regexp_extract(text, '\\bport[ :](\\d{1,5})\\b', 1)
+                       AS INTEGER) AS port,
+                     lower(regexp_extract(text, '(?i)\\b(tcp|udp|icmp)\\b', 1))
+                       AS proto
+              FROM tx
+              WHERE contains(text, 'connection from')
+                AND regexp_matches(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')
+                AND regexp_matches(text, '\\bport[ :]\\d{1,5}\\b')
+                AND regexp_matches(text, '(?i)\\b(?:tcp|udp|icmp)\\b')
+            ) GROUP BY proto""",
         "content_filter": """
             SELECT source, COUNT(*) AS n FROM documents
             WHERE contains(text, 'slow') GROUP BY source""",
@@ -830,39 +860,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT md5(text) AS fp, MIN(doc_id) AS doc_id
               FROM documents GROUP BY md5(text))""",
         "doc_fingerprint": """
-            SELECT COUNT(DISTINCT substring(md5(lower(trim(text))), 1, 16))
-                     AS distinct_fp
-            FROM documents""",
-        "token_count": """
-            SELECT lang,
-                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
-                   COUNT(*) AS docs
-            FROM documents GROUP BY lang""",
-        "quality_score": """
-            SELECT source,
-                   ROUND(AVG(ROUND((length(text) - length(replace(text, ' ', '')))
-                         / greatest(length(text), 1), 4)), 4) AS avg_quality
-            FROM documents GROUP BY source""",
-        "token_count_bpe": """
-            SELECT lang,
-                   CAST(SUM(len(regexp_extract_all(text,
-                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS tokens,
-                   COUNT(*) AS docs
-            FROM documents GROUP BY lang""",
-        "rolling_fingerprint": """
             WITH h AS (
-              SELECT list_reduce(
+              SELECT substring(md5(lower(trim(text))), 1, 16) AS fp,
+                     list_reduce(
                        list_prepend(CAST(0 AS BIGINT),
                          list_transform(
                            list_filter(string_split(lower(text), ' '),
                                        x -> length(x) > 0),
                            t -> CAST(CAST(('0x' || substring(md5(t), 1, 8))
                                 AS UBIGINT) AS BIGINT))),
-                       (a, b) -> (a * 31 + b) % 2147483647) AS fp
+                       (a, b) -> (a * 31 + b) % 2147483647) AS rfp
               FROM documents)
             SELECT COUNT(DISTINCT fp) AS distinct_fp,
-                   CAST(SUM(fp) AS BIGINT) AS fp_sum
+                   COUNT(DISTINCT rfp) AS distinct_rfp,
+                   CAST(SUM(rfp) AS BIGINT) AS rfp_sum
             FROM h""",
+        "token_count": """
+            SELECT lang,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+                   CAST(SUM(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT)
+                     AS tokens_bpe,
+                   COUNT(*) AS docs
+            FROM documents GROUP BY lang""",
         "quality_battery": """
             SELECT source,
                    ROUND(AVG(ROUND((length(text) -
@@ -877,7 +897,9 @@ def oracle_sql() -> dict[str, str]:
                                    x -> length(x) > 0),
                        t -> t IN ('the','and','of','to','a','in','is'))) * 1.0
                      / greatest(len(list_filter(string_split(lower(text), ' '),
-                                   x -> length(x) > 0)), 1), 4)), 4) AS avg_stop
+                                   x -> length(x) > 0)), 1), 4)), 4) AS avg_stop,
+                   ROUND(AVG(ROUND((length(text) - length(replace(text, ' ', '')))
+                         / greatest(length(text), 1), 4)), 4) AS avg_quality
             FROM documents GROUP BY source""",
         "lang_id": """
             SELECT CASE
@@ -1105,41 +1127,6 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(embedding, qv), 6) AS sim
             FROM assigned, q WHERE cell IN (SELECT cid FROM probe)
             ORDER BY sim DESC, vec_id LIMIT 10""",
-        "pipeline_sink_counts": _MAPPED_TX_SQL + """
-            SELECT sid, COUNT(*) AS n FROM (
-              SELECT CAST(1000001 AS BIGINT) AS sid FROM tx
-               WHERE role = 'assistant' AND contains(text, 'error')
-                 AND regexp_matches(text, '(?i)tool\\s+timeout')
-              UNION ALL
-              SELECT CAST(1000005 AS BIGINT) FROM tx
-               WHERE regexp_matches(text, 'code=[0-9]+')
-                 AND CAST(regexp_extract(text, 'code=([0-9]+)', 1) AS INTEGER) >= 500
-              UNION ALL
-              SELECT CAST(1000007 AS BIGINT) FROM tx WHERE role IN ('tool', 'system')
-              UNION ALL
-              SELECT CAST(1000014 AS BIGINT) FROM tx
-               WHERE contains(text, 'connection from')
-                 AND regexp_matches(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')
-                 AND regexp_matches(text, '\\bport[ :]\\d{1,5}\\b')
-                 AND regexp_matches(text, '(?i)\\b(?:tcp|udp|icmp)\\b')
-            ) GROUP BY sid""",
-        "parse_tokens_rule": _MAPPED_TX_SQL + """
-            SELECT proto, COUNT(*) AS n,
-                   COUNT(DISTINCT src_ip) AS distinct_ips,
-                   MAX(port) AS max_port
-            FROM (
-              SELECT regexp_extract(text, '\\b((?:\\d{1,3}\\.){3}\\d{1,3})\\b', 1)
-                       AS src_ip,
-                     CAST(regexp_extract(text, '\\bport[ :](\\d{1,5})\\b', 1)
-                       AS INTEGER) AS port,
-                     lower(regexp_extract(text, '(?i)\\b(tcp|udp|icmp)\\b', 1))
-                       AS proto
-              FROM tx
-              WHERE contains(text, 'connection from')
-                AND regexp_matches(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')
-                AND regexp_matches(text, '\\bport[ :]\\d{1,5}\\b')
-                AND regexp_matches(text, '(?i)\\b(?:tcp|udp|icmp)\\b')
-            ) GROUP BY proto""",
         # no oracle (rows-only): none — every queries() entry above has a
         # DuckDB oracle.
     }

@@ -139,7 +139,7 @@ def main() -> None:
         "simhash_portable",
         "ann_brute_topk",
         "ann_lsh_topk",
-        "quality_score",
+        "quality_battery",
         "multimodal_features",
         "multimodal_frames",
         "embedding_near_dups",
