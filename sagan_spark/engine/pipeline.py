@@ -88,6 +88,10 @@ def build_alerts(
     )
     if not fold_dims:
         enriched = enrich.apply_enrich_filters(enriched, ruleset)
+        # bd_* are filter-only attributes of the unfolded path (folded mode
+        # never attaches them) — drop after filtering so PipelineResult.alerts
+        # has the SAME schema in both modes
+        enriched = enriched.drop("bd_category", "bd_score")
     # role-tracked (by_username) rules split the plan into a conv-keyed and
     # a role-keyed replay branch — dual consumers of the match subtree, so
     # persist it (MapInPandas subtrees are never exchange-reuse-deduped).

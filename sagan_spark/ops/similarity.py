@@ -80,7 +80,7 @@ def lsh_bucketed_topk(
     q: list[float],
     k: int = 10,
     nbits: int = 16,
-    radius: int = 6,
+    radius: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -90,10 +90,17 @@ def lsh_bucketed_topk(
 
     Parameter guidance: candidate fraction ≈ Σ_{i≤radius} C(nbits,i)/2^nbits
     — pick radius so E[candidates] ≳ 10·k at the corpus size. At 10^9
-    vectors nbits=16 + radius 1-2 already yields thousands of candidates;
-    the defaults here (radius=6 ≈ 23% of buckets) suit the small bench
-    corpora while exercising the identical plan. The recall floor is
-    asserted in tests/test_ops (recall@k vs brute_topk)."""
+    vectors nbits=16 + the default radius=2 (≈0.2% of buckets) already
+    yields thousands of candidates; SMALL corpora need a wider radius to
+    keep recall (the bench/oracle queries pass radius=6 explicitly —
+    ANN_RADIUS in __spark_entry__). Defaults follow the scale path, not
+    the demo corpus. The recall floor is asserted in tests/test_ops
+    (recall@k vs brute_topk).
+
+    NOTE on repeated-query workloads: this one-shot form computes ``_sig``
+    for the whole corpus inside the query — right for a single sweep,
+    wrong for serving many queries. Use build_lsh_index/lsh_index_topk
+    (precomputed, signature-partitioned) for that."""
     planes = _hyperplanes(len(q), nbits)
     qsig = 0
     for i, p in enumerate(planes):

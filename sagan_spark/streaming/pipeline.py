@@ -118,8 +118,11 @@ def _replay_batch_incremental(
     return emit_rows
 
 
-def _make_role_state_fn(role_rules: dict[int, Rule], out_cols: list[str]):
-    """track="role" (by_username) streaming counters, keyed by role.
+def _make_role_state_fn(
+    role_rules: dict[int, Rule], out_cols: list[str], ttl_minutes: int | None = None
+):
+    """track="role" (by_username) streaming counters, keyed by the track
+    value.
 
     Ordering semantics: ts-sorted WITHIN a micro-batch, arrival order
     ACROSS batches — the exact analogue of the reference's mmap counters,
@@ -127,19 +130,43 @@ def _make_role_state_fn(role_rules: dict[int, Rule], out_cols: list[str]):
     replays in global event-time order instead, so streaming ≡ batch holds
     exactly when the source delivers in event-time order (append-only
     logs); out-of-order arrival shifts which events of a window emit, the
-    same way it does in the reference. Role keys are few and never idle,
-    so no TTL/late policy on this branch (conversation-scoped concepts)."""
+    same way it does in the reference.
+
+    Robustness policies, mirroring the conv-keyed branch (_make_state_fn):
+    - Redelivery/late guard: a redelivered alert row would increment the
+      GLOBAL (track value, sid) counter a second time and shift which
+      events emit, so the state blob carries a per-conversation turn
+      high-water mark; rows at or below their conversation's mark are
+      DROPPED AND COUNTED (``late``). Memory is O(active conversations per
+      track value) — the same order as the conv branch's one-state-per-conv.
+    - ``ttl_minutes``: ProcessingTimeTimeout eviction of idle track keys —
+      required when the track key is a high-cardinality username column
+      (fine to leave None for 4-value role tracks that never go idle);
+      an evicted key restarts from empty counters if it resumes."""
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        counters = (
-            {int(k): tuple(v) for k, v in json.loads(state.get[0]).items()}
-            if state.exists
-            else {}
-        )
+        if ttl_minutes is not None and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            blob = json.loads(state.get[0])
+            counters = {int(k): tuple(v) for k, v in blob["counters"].items()}
+            hwm = blob.get("hwm", {})
+            late = blob.get("late", 0)
+        else:
+            counters, hwm, late = {}, {}, 0
         parts = [pdf for pdf in pdfs if len(pdf)]
         outs = []
         if parts:
             pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+            late_mask = pdf["turn_idx"] <= pdf["conv_id"].map(
+                lambda c: hwm.get(c, -1)
+            )
+            if late_mask.any():
+                late += int(late_mask.sum())
+                pdf = pdf.loc[~late_mask]
+            for conv, t in pdf.groupby("conv_id")["turn_idx"].max().items():
+                hwm[conv] = max(hwm.get(conv, -1), int(t))
             pdf = pdf.sort_values(["ts", "conv_id", "turn_idx", "sid"], kind="mergesort")
             ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64") / 1_000_000.0
             sid = pdf["sid"].to_numpy()
@@ -150,7 +177,19 @@ def _make_role_state_fn(role_rules: dict[int, Rule], out_cols: list[str]):
                     keep.append(pdf.index[i])
             if keep:
                 outs.append(pdf.loc[keep, out_cols])
-        state.update((json.dumps({str(k): v for k, v in counters.items()}),))
+        state.update(
+            (
+                json.dumps(
+                    {
+                        "counters": {str(k): v for k, v in counters.items()},
+                        "hwm": hwm,
+                        "late": late,
+                    }
+                ),
+            )
+        )
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(int(ttl_minutes * 60_000))
         if outs:
             yield pd.concat(outs, ignore_index=True)
 
@@ -273,16 +312,18 @@ def build_stream(
             correlated = correlated.unionByName(replayed)
         if role_rules:
             # second stateful operator, keyed by the track column (role):
-            # the streaming twin of correlate's role-keyed batch branch
+            # the streaming twin of correlate's role-keyed batch branch.
+            # TTL applies here too — a high-cardinality track key (username)
+            # needs idle-key eviction just like conversations do.
             role_stateful = enriched.filter(
                 enriched.sid.isin(list(role_rules))
             ).drop("extracted")
             role_replayed = role_stateful.groupBy("role").applyInPandasWithState(
-                _make_role_state_fn(role_rules, out_cols),
+                _make_role_state_fn(role_rules, out_cols, state_ttl_minutes),
                 outputStructType=out_schema,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout,
+                timeoutConf=timeout,
             )
             correlated = correlated.unionByName(role_replayed)
     return route.attach_rule_meta(correlated, ruleset)

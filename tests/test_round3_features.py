@@ -1,0 +1,171 @@
+"""Round-3 features: alert-schema mode invariance, role-track streaming
+redelivery guard + TTL eviction (the robustness policies the conv-keyed
+branch already had)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+
+from sagan_spark.rules.model import AfterSpec, ContentSpec, Rule, RuleSet
+from sagan_spark.streaming import pipeline as stream_pipeline
+
+_TS0 = pd.Timestamp("2025-03-01 10:00:00")
+RETRY_TXT = "transient failure, scheduling a retry with backoff"
+
+
+def _write(rows, path):
+    """rows: (conv_id, turn_idx, text, offset_s, role) — exact transcript
+    parquet schema (timestamp[us], int32 turn_idx)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sagan_spark.datagen.transcripts import SCHEMA
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+            "role": [r[4] for r in rows],
+            "text": [r[2] for r in rows],
+            "tool": ["none"] * len(rows),
+            "ts": pd.Series(
+                [_TS0 + pd.Timedelta(seconds=r[3]) for r in rows]
+            ).astype("datetime64[us]"),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, schema=SCHEMA, preserve_index=False), path)
+
+
+def _fired(spark, out_dir, sid) -> set:
+    p = os.path.join(out_dir, "fast")
+    if not os.path.exists(p):
+        return set()
+    try:
+        return {
+            (r.conv_id, r.turn_idx)
+            for r in spark.read.parquet(p).filter(f"sid = {sid}").collect()
+        }
+    except Exception:
+        return set()
+
+
+def _role_ruleset(count: int) -> RuleSet:
+    return RuleSet(
+        (
+            Rule(
+                sid=4000002,
+                msg="role-wide retry window",
+                sink="fast",
+                contents=(ContentSpec("retry",),),
+                after=AfterSpec(track="role", count=count, seconds=900),
+            ),
+        )
+    )
+
+
+def test_alert_schema_mode_invariant(spark, tiny_path):
+    """PipelineResult.alerts must have the SAME schema whether enrich
+    conditions were constant-folded (fold_dims=True, the default) or
+    applied as post-join filters — bd_* are filter-only attributes and
+    must not leak into the unfolded mode's output."""
+    from sagan_spark import io as iomod
+    from sagan_spark.engine.pipeline import build_alerts
+
+    df = iomod.read_table(spark, tiny_path, columns=iomod.TRANSCRIPT_COLUMNS)
+    folded = build_alerts(spark, df, fold_dims=True)
+    unfolded = build_alerts(spark, df, fold_dims=False)
+    assert folded.schema == unfolded.schema, (
+        folded.schema.simpleString(),
+        unfolded.schema.simpleString(),
+    )
+
+
+def test_role_track_redelivery_dropped(spark, tmp_path):
+    """A redelivered alert row must NOT increment the global (role, sid)
+    counter a second time. f1 delivers convA turns 0,1 (count reaches 2,
+    below the after threshold); f2 redelivers convA turn 1 and adds convB
+    turns 0,1. Without the high-water-mark guard the redelivery makes the
+    counter hit 3 at (convA,1) — an emission the batch engine never
+    produces; with it, only convB's rows emit (counts 3 and 4)."""
+    rs = _role_ruleset(count=2)
+    in_dir, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    os.makedirs(in_dir)
+    q = stream_pipeline.run_stream(spark, in_dir, out, ck, ruleset=rs, max_files_per_trigger=1)
+    try:
+        _write(
+            [("convA", 0, RETRY_TXT, 0, "user"), ("convA", 1, RETRY_TXT, 10, "user")],
+            os.path.join(in_dir, "f1.parquet"),
+        )
+        q.processAllAvailable()
+        _write(
+            [
+                ("convA", 1, RETRY_TXT, 10, "user"),  # redelivery
+                ("convB", 0, RETRY_TXT, 100, "user"),
+                ("convB", 1, RETRY_TXT, 110, "user"),
+            ],
+            os.path.join(in_dir, "f2.parquet"),
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(_fired(spark, out, 4000002)) == [("convB", 0), ("convB", 1)]
+
+
+def test_role_track_ttl_evicts_idle_key(spark, tmp_path):
+    """TTL on the role-keyed operator: the 'user' track key idles past the
+    TTL and is evicted (counters restart), so convA's second retry does not
+    emit; the 'tool' track key stays active across the same batches and its
+    second retry DOES emit — proving the decisive batch ran and eviction
+    was key-selective. Timer eviction needs a processingTime trigger plus
+    a data batch for an unrelated key (see run_stream TTL note)."""
+    rs = _role_ruleset(count=1)  # emits on the 2nd event in a window
+    in_dir, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    os.makedirs(in_dir)
+    q = stream_pipeline.run_stream(
+        spark,
+        in_dir,
+        out,
+        ck,
+        ruleset=rs,
+        max_files_per_trigger=1,
+        state_ttl_minutes=0.0008,  # ~48ms
+        trigger_processing_time="1 second",
+    )
+    deadline = time.time() + 90
+
+    def _await_commit(batch_id: int) -> None:
+        p = os.path.join(ck, "commits", str(batch_id))
+        while time.time() < deadline and not os.path.exists(p):
+            time.sleep(0.25)
+        assert os.path.exists(p), f"batch {batch_id} never committed"
+
+    try:
+        _write([("convA", 0, RETRY_TXT, 0, "user")], os.path.join(in_dir, "f1.parquet"))
+        _await_commit(0)
+        time.sleep(2)  # >> TTL: 'user' timer expires
+        # f2 hosts the eviction (timers fire for keys WITHOUT data in the
+        # batch) and starts the 'tool' counter
+        _write([("convB", 0, RETRY_TXT, 5, "tool")], os.path.join(in_dir, "f2.parquet"))
+        _await_commit(1)
+        # f3: convA resumes within the (evicted) 900s window; convC's tool
+        # row is the sentinel — 2nd 'tool' event, must emit
+        _write(
+            [
+                ("convA", 1, RETRY_TXT, 10, "user"),
+                ("convC", 0, RETRY_TXT, 20, "tool"),
+            ],
+            os.path.join(in_dir, "f3.parquet"),
+        )
+        fired = set()
+        while time.time() < deadline:
+            fired = _fired(spark, out, 4000002)
+            if ("convC", 0) in fired:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert ("convC", 0) in fired, "sentinel never fired — stream did not process f3"
+    assert ("convA", 1) not in fired, "role-track state survived past TTL"
