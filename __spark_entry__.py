@@ -526,6 +526,18 @@ def q_ann_lsh_topk(spark, sf):  # scale path; oracle inlines the seeded planes
     )
 
 
+def q_ann_lsh_index_topk(spark, sf):  # repeated-query scale path: the
+    # signature is MATERIALIZED once (build_lsh_index) and the query is a
+    # probe-enumeration IN filter — no per-query signature scan. nbits=8
+    # keeps the probe ball a meaningful fraction of the small test corpus;
+    # the written/partitioned form and its plan pruning are asserted in
+    # tests/test_ops.py (PartitionFilters + In(_sig) pushdown).
+    emb = _t(spark, sf, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    idx = SIM.build_lsh_index(emb.where(F.col("vec_id") != 0), dim=len(q), nbits=8)
+    return SIM.lsh_index_topk(idx, q, k=10, nbits=8, radius=2)
+
+
 def q_ann_ivf_topk(spark, sf):  # centroid sample is md5-portable → SQL oracle
     emb = _t(spark, sf, "embeddings")
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
@@ -674,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_threshold": q_ann_threshold,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_index_topk": q_ann_lsh_index_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_norms": q_embedding_norms,
         "multimodal_stats": q_multimodal_stats,
@@ -1106,6 +1119,7 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_lsh_index_topk": _ann_lsh_sql(nbits=8, radius=2),
         "embedding_near_dups": _emb_neardup_sql(),
         "ann_ivf_topk": """
             WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0),
@@ -1181,15 +1195,17 @@ def _emb_neardup_sql() -> str:
             WHERE cos >= 0.25"""
 
 
-def _ann_lsh_sql() -> str:
+def _ann_lsh_sql(nbits: int = ANN_NBITS, radius: int = ANN_RADIUS) -> str:
     """LSH ANN oracle: the seeded hyperplanes inlined as double literals;
     signature/probe/re-rank re-derived entirely in SQL (same algorithm,
-    independent engine)."""
+    independent engine). The same SQL oracles BOTH query forms — the
+    one-shot sweep and the precomputed index — because the index's probe
+    IN-set is by construction {s : hamming(s, qsig) <= radius}."""
     import numpy as np  # noqa: F401  (via _hyperplanes)
 
     from sagan_spark.ops.similarity import _hyperplanes
 
-    planes = _hyperplanes(64, ANN_NBITS)
+    planes = _hyperplanes(64, nbits)
 
     def plane_lit(p) -> str:
         return "[" + ", ".join(repr(float(x)) for x in p) + "]"
@@ -1214,5 +1230,5 @@ def _ann_lsh_sql() -> str:
             SELECT vec_id,
                    ROUND(list_cosine_similarity(embedding, qv), 6) AS sim
             FROM sigs, q, qs
-            WHERE bit_count(xor(sig, qsig)) <= {ANN_RADIUS}
+            WHERE bit_count(xor(sig, qsig)) <= {radius}
             ORDER BY sim DESC, vec_id LIMIT 10"""

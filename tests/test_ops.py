@@ -154,6 +154,74 @@ def test_lsh_cap_bounds_pathological_bucket(spark):
     assert stats.docs_in_dropped >= 1000
 
 
+def test_lsh_index_topk_equals_one_shot(emb):
+    """The precomputed-index path must return EXACTLY the one-shot form's
+    result at the same (nbits, radius): the probe-signature IN set is by
+    construction {s : hamming(s, qsig) <= radius}, so the candidate sets —
+    and therefore the re-ranked top-k — are identical. The recall floor
+    asserted on the one-shot form transfers."""
+    q = _q(emb)
+    rest = emb.where(F.col("vec_id") != 0)
+    idx = SIM.build_lsh_index(rest, dim=64, nbits=16, part_bits=8)
+    for radius in (2, 6):
+        got = [
+            (r.vec_id, r.sim)
+            for r in SIM.lsh_index_topk(idx, q, k=10, nbits=16, radius=radius).collect()
+        ]
+        want = [
+            (r.vec_id, r.sim)
+            for r in SIM.lsh_bucketed_topk(rest, q, k=10, nbits=16, radius=radius).collect()
+        ]
+        assert got == want, f"radius={radius}"
+
+
+def test_ivf_index_topk_equals_one_shot(emb):
+    q = _q(emb)
+    rest = emb.where(F.col("vec_id") != 0)
+    cents = SIM.select_centroids(rest, 8)
+    idx = SIM.build_ivf_index(rest, cents)
+    got = [(r.vec_id, r.sim) for r in SIM.ivf_index_topk(idx, q, cents, k=10, nprobe=2).collect()]
+    want = [(r.vec_id, r.sim) for r in SIM.ivf_topk(rest, q, k=10, ncentroids=8, nprobe=2).collect()]
+    assert got == want
+
+
+def test_lsh_index_query_plan_scans_only_probes(spark, emb, tmp_path):
+    """The written index must serve queries via partition pruning + parquet
+    stats, with NO signature computation over the corpus at query time —
+    the 'an index you rebuild per query isn't an index' fix."""
+    q = _q(emb)
+    rest = emb.where(F.col("vec_id") != 0)
+    path = str(tmp_path / "lsh_idx")
+    SIM.write_lsh_index(rest, path, dim=64, nbits=16, part_bits=8)
+    idx = spark.read.parquet(path)
+    top = SIM.lsh_index_topk(idx, q, k=10, nbits=16, radius=2)
+    plan = top._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [_sigp" in plan and "INSET" in plan, "no partition pruning"
+    assert "In(_sig" in plan, "signature filter not pushed to parquet"
+    # the one-shot form's per-vector signature expression uses shiftleft;
+    # the index query must not recompute it
+    assert "shiftleft" not in plan, "query recomputes signatures"
+
+
+def test_ivf_index_written_partition_pruning(spark, emb, tmp_path):
+    q = _q(emb)
+    rest = emb.where(F.col("vec_id") != 0)
+    cents = SIM.select_centroids(rest, 8)
+    path = str(tmp_path / "ivf_idx")
+    SIM.write_ivf_index(rest, path, cents)
+    idx = spark.read.parquet(path)
+    top = SIM.ivf_index_topk(idx, q, cents, k=10, nprobe=2)
+    plan = top._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [_cell" in plan, "no cell partition pruning"
+    got = [(r.vec_id, r.sim) for r in top.collect()]
+    want = [(r.vec_id, r.sim) for r in SIM.ivf_topk(rest, q, k=10, ncentroids=8, nprobe=2).collect()]
+    assert got == want
+
+
 def test_multimodal_stub_decoder_deterministic(spark):
     """width/height are excluded from the SQL oracle because they come from
     the stub; assert the stub's documented contract here instead."""
