@@ -148,10 +148,16 @@ def main() -> None:
     ):
         if only_set is not None and name not in only_set:
             continue
+        # min-of-3 like the pipeline legs: single-run operator timings on
+        # this VM are noise (r2: 6.7s driver vs 1.9s re-run for the same
+        # query) — the recorded number must be a reproducible minimum
         df = qs[name](spark, sf_dir)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+        timings[name] = round(min(walls), 3)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -63,8 +63,9 @@ def bucketed_range_join(
     that, hash-join on bucket(value) and re-check the bounds. Same
     semantics, hash-join speed; bucket_width should be ≤ the typical range
     width so ranges expand to O(width/bucket_width) buckets each.
-    Measured at sf0.1 on the lineitem quantity-band query: 5.4s (BNLJ) →
-    ~sub-second (BroadcastHashJoin).
+    Measured at sf0.1 on the lineitem quantity-band query (min-of-3 —
+    single runs on this VM swing ±20-100%): 5.4s (BNLJ) → ~1.9s
+    (BroadcastHashJoin); the one driver-recorded 6.7s was a noise window.
     """
     b = F.lit(float(bucket_width))
     expanded = ranges.select(

