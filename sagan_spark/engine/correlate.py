@@ -28,8 +28,8 @@ pandas oracle):
   set/unset actions; counter updates and set/unset happen only when the
   rule's detection (incl. bit checks) passed; after/threshold gate only
   *emission*, not state actions.
-- track="role" rules (by_username analogue) would use the window-function
-  variant below — none in the canonical set.
+- track="role"/"tool" rules (by_username / by_dst analogues) take a
+  separate track-column-keyed replay branch (see run_correlate).
 """
 
 from __future__ import annotations
@@ -128,16 +128,20 @@ def _replay_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.DataF
     return pdf.loc[fires]
 
 
-def _replay_role_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.DataFrame:
-    """Replay one hash(role)-partition pre-sorted by (role, ts, conv_id,
-    turn_idx, sid) — the track="role" (Sagan `by_username`) variant of
-    ``_replay_sorted``. Counters are GLOBAL per (role value, sid) across
+def _replay_tracked_sorted(
+    rules_by_sid: dict[int, Rule], pdf: pd.DataFrame, key_col: str
+) -> pd.DataFrame:
+    """Replay one hash(key_col)-partition pre-sorted by (key_col, ts,
+    conv_id, turn_idx, sid) — the non-conv track variant of
+    ``_replay_sorted`` serving track="role" (Sagan `by_username`) and
+    track="tool" (`by_dst` — the destination analogue in this payload
+    transposition). Counters are GLOBAL per (track value, sid) across
     conversations, in event-time order ([PUB src/after.c] keys its mmap
-    table by username the same way). Role-tracked rules cannot carry
-    flexbits (enforced at RuleSet construction), so no per-turn
+    table by username/dst the same way). Non-conv-tracked rules cannot
+    carry flexbits (enforced at RuleSet construction), so no per-turn
     set/check staging is needed. Rows of other sids pass through."""
     sid = pdf["sid"].to_numpy()
-    key = pdf["role"].to_numpy()
+    key = pdf[key_col].to_numpy()
     ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64") / 1_000_000.0
     tracked = np.isin(sid, np.fromiter(rules_by_sid.keys(), dtype=np.int64))
     fires = ~tracked
@@ -170,45 +174,57 @@ def run_correlate(alerts: DataFrame, ruleset: RuleSet, scope: str = "all") -> Da
     BUT both branches recompute the parent unless the caller persists it —
     use with a persisted upstream for very high alert-volume workloads.
 
-    track="role" rules (Sagan `by_username`) take a SEPARATE branch:
-    their rows repartition by role and replay in (ts, conv_id, turn_idx)
-    order with counters global per (role, sid). Partition count equals
-    track-key cardinality (4 roles here; usernames in a real corpus) —
-    inherent to the semantics, not a plan defect. This branch makes the
-    plan dual-consumer, so callers should persist the upstream
+    Non-conv tracked rules (Sagan `by_username` → role, `by_dst` → tool)
+    take a SEPARATE branch per track column: their rows repartition by the
+    track column and replay in (ts, conv_id, turn_idx) order with counters
+    global per (track value, sid). Partition count equals track-key
+    cardinality (4 roles / a handful of tools here; usernames in a real
+    corpus) — inherent to the semantics, not a plan defect. These branches
+    make the plan dual-consumer, so callers should persist the upstream
     (pipeline.build_alerts does this automatically).
     """
-    role_rules = {
-        r.sid: r for r in ruleset.rules if r.stateful and r.track == "role"
-    }
-    conv_rules = {
-        r.sid: r for r in ruleset.rules if r.stateful and r.sid not in role_rules
-    }
-    if not role_rules and not conv_rules:
+    tracked: dict[str, dict[int, Rule]] = {}
+    conv_rules: dict[int, Rule] = {}
+    for r in ruleset.rules:
+        if not r.stateful:
+            continue
+        if r.track in ("role", "tool"):
+            tracked.setdefault(r.track, {})[r.sid] = r
+        else:
+            conv_rules[r.sid] = r
+    if not tracked and not conv_rules:
         return alerts
     schema = alerts.schema
 
-    if role_rules:
-        role_sids = list(role_rules)
+    if tracked:
+        def _make_replay(rules: dict[int, Rule], col: str):
+            def replay_tracked(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                parts = [b for b in batches if len(b)]
+                if not parts:
+                    return
+                pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+                out = _replay_tracked_sorted(rules, pdf, col)
+                if len(out):
+                    yield out
 
-        def replay_role(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            parts = [b for b in batches if len(b)]
-            if not parts:
-                return
-            pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
-            out = _replay_role_sorted(role_rules, pdf)
-            if len(out):
-                yield out
+            return replay_tracked
 
-        role_branch = (
-            alerts.filter(alerts.sid.isin(role_sids))
-            .repartition("role")
-            .sortWithinPartitions("role", "ts", "conv_id", "turn_idx", "sid")
-            .mapInPandas(replay_role, schema=schema)
-        )
-        rest = alerts.filter(~alerts.sid.isin(role_sids))
-        conv_branch = run_correlate(rest, RuleSet(tuple(conv_rules.values())), scope)
-        return conv_branch.unionByName(role_branch)
+        branches = []
+        handled: list[int] = []
+        for col, rules in sorted(tracked.items()):
+            sids = list(rules)
+            handled += sids
+            branches.append(
+                alerts.filter(alerts.sid.isin(sids))
+                .repartition(col)
+                .sortWithinPartitions(col, "ts", "conv_id", "turn_idx", "sid")
+                .mapInPandas(_make_replay(rules, col), schema=schema)
+            )
+        rest = alerts.filter(~alerts.sid.isin(handled))
+        out = run_correlate(rest, RuleSet(tuple(conv_rules.values())), scope)
+        for b in branches:
+            out = out.unionByName(b)
+        return out
 
     rules_by_sid = conv_rules
     stateful_sids = list(conv_rules)

@@ -92,12 +92,15 @@ def build_alerts(
         # never attaches them) — drop after filtering so PipelineResult.alerts
         # has the SAME schema in both modes
         enriched = enriched.drop("bd_category", "bd_score")
-    # role-tracked (by_username) rules split the plan into a conv-keyed and
-    # a role-keyed replay branch — dual consumers of the match subtree, so
-    # persist it (MapInPandas subtrees are never exchange-reuse-deduped).
-    has_role_track = any(r.stateful and r.track == "role" for r in ruleset.rules)
+    # non-conv tracked rules (by_username → role, by_dst → tool) split the
+    # plan into a conv-keyed and one-or-more track-keyed replay branches —
+    # dual consumers of the match subtree, so persist it (MapInPandas
+    # subtrees are never exchange-reuse-deduped).
+    has_track_branch = any(
+        r.stateful and r.track in ("role", "tool") for r in ruleset.rules
+    )
     persisted = None
-    if (persist_intermediate or has_role_track) and any(r.stateful for r in ruleset.rules):
+    if (persist_intermediate or has_track_branch) and any(r.stateful for r in ruleset.rules):
         enriched = persisted = enriched.persist(StorageLevel.MEMORY_AND_DISK)
     correlated = correlate.run_correlate(enriched, ruleset, scope=correlate_scope)
     out = route.attach_rule_meta(correlated, ruleset)

@@ -113,23 +113,23 @@ def format_line(a: dict, sink: str) -> str:
     raise ValueError(sink)
 
 
-def _role_track_decisions(df: pd.DataFrame, rules: tuple[Rule, ...]) -> dict:
-    """Pre-pass for track="role" (by_username) after/threshold rules:
-    counters are GLOBAL per (role, sid) and replay in (ts, conv_id,
-    turn_idx) order across conversations. Returns {(row_label, sid): emit}
-    consulted by the main loop (which stays in (conv_id, turn_idx) order
-    for everything else). Role-tracked rules cannot carry flexbits
-    (RuleSet validation), so stateless+enrich outcomes fully determine the
-    event stream here."""
+def _tracked_decisions(df: pd.DataFrame, rules: tuple[Rule, ...], track: str) -> dict:
+    """Pre-pass for non-conv tracked after/threshold rules — track="role"
+    (by_username) and track="tool" (by_dst): counters are GLOBAL per
+    (track value, sid) and replay in (ts, conv_id, turn_idx) order across
+    conversations. Returns {(row_label, sid): emit} consulted by the main
+    loop (which stays in (conv_id, turn_idx) order for everything else).
+    Non-conv-tracked rules cannot carry flexbits (RuleSet validation), so
+    stateless+enrich outcomes fully determine the event stream here."""
     decisions: dict[tuple[int, int], bool] = {}
-    role_rules = [r for r in rules if r.stateful and r.track == "role"]
-    if not role_rules:
+    track_rules = [r for r in rules if r.stateful and r.track == track]
+    if not track_rules:
         return decisions
     # sort key mirrors Spark's NULLS FIRST ordering and the counter key is
-    # the ACTUAL role value — a null role is its own track key, distinct
-    # from an empty-string role (the engine's repartition("role") groups
+    # the ACTUAL track value — a null key is its own track key, distinct
+    # from an empty-string key (the engine's repartition(track) groups
     # them separately too)
-    events: list[tuple] = []  # (sortable_role, t, conv_id, turn_idx, sid, label, role)
+    events: list[tuple] = []  # (sortable_key, t, conv_id, turn_idx, sid, label, key)
     for i, row in df.iterrows():
         ts: pd.Timestamp = row["ts"]
         hour, dow = ts.hour, ts.weekday() + 1
@@ -139,25 +139,25 @@ def _role_track_decisions(df: pd.DataFrame, rules: tuple[Rule, ...]) -> dict:
             "tool": row["tool"],
             "risk_tag": _risk_tag(rk),
         }
-        for rule in role_rules:
+        for rule in track_rules:
             if match_stateless(rule, row["text"], row["role"], row["tool"], hour, dow) is None:
                 continue
             if not _enrich_pass(rule, rrow):
                 continue
             events.append(
                 (
-                    (row["role"] is not None, row["role"] or ""),
+                    (row[track] is not None, row[track] or ""),
                     ts.value / 1e9,
                     row["conv_id"],
                     int(row["turn_idx"]),
                     rule.sid,
                     i,
-                    row["role"],
+                    row[track],
                 )
             )
     events.sort(key=lambda e: e[:5])
     counters: dict[tuple, tuple[float, int]] = {}
-    by_sid = {r.sid: r for r in role_rules}
+    by_sid = {r.sid: r for r in track_rules}
     for _skey, t, _conv, _turn, sid, label, key in events:
         rule = by_sid[sid]
         spec = rule.after or rule.threshold
@@ -187,8 +187,10 @@ def run_oracle(df: pd.DataFrame, ruleset: RuleSet) -> OracleResult:
     rules = ruleset.rules
     states: dict[str, _ConvState] = {}
     alerts: list[dict] = []
-    role_decisions = _role_track_decisions(df, rules)
-    role_sids = {r.sid for r in rules if r.stateful and r.track == "role"}
+    tracked_decisions: dict = {}
+    for track in ("role", "tool"):
+        tracked_decisions.update(_tracked_decisions(df, rules, track))
+    tracked_sids = {r.sid for r in rules if r.stateful and r.track in ("role", "tool")}
 
     conv_ids = df["conv_id"].to_numpy()
     turn_idxs = df["turn_idx"].to_numpy()
@@ -239,8 +241,8 @@ def run_oracle(df: pd.DataFrame, ruleset: RuleSet) -> OracleResult:
                 continue
             emit = True
             spec = rule.after or rule.threshold
-            if rule.sid in role_sids:
-                emit = role_decisions[(i, rule.sid)]
+            if rule.sid in tracked_sids:
+                emit = tracked_decisions[(i, rule.sid)]
             elif spec is not None:
                 ws, cnt = st.counters.get(rule.sid, (None, 0))
                 if ws is None or t > ws + spec.seconds:

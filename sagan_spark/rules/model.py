@@ -180,9 +180,14 @@ class AfterSpec:
 
     Reset-window semantics (Sagan, not sliding): per (sid, track_key) keep
     (window_start, count). On event at t: if t > window_start + S →
-    window_start=t, count=1; else count+=1. Alert iff count > C."""
+    window_start=t, count=1; else count+=1. Alert iff count > C.
 
-    track: str  # "conv_id" | "role"
+    track keys (payload transposition of Sagan's by_src/by_dst/by_username):
+    "conv_id" (per-conversation, replayed in turn order), "role" and "tool"
+    (GLOBAL per track value across conversations, replayed in event-time
+    order — see engine/correlate)."""
+
+    track: str  # "conv_id" | "role" | "tool"
     count: int
     seconds: int
 
@@ -279,10 +284,10 @@ class RuleSet:
     """Validated rule collection.
 
     Construction-time checks (loud failure beats silent wrong answers):
-    - after/threshold track must be "conv_id" or "role"; role-tracked
-      counters are GLOBAL per role value (replayed in ts order across
-      conversations — see engine/correlate.run_correlate), so a
-      role-tracked rule may not also use flexbits (which are per-conv).
+    - after/threshold track must be "conv_id", "role", or "tool";
+      role/tool-tracked counters are GLOBAL per track value (replayed in
+      ts order across conversations — see engine/correlate.run_correlate),
+      so a non-conv-tracked rule may not also use flexbits (per-conv state).
     - depends_on may not reference a noalert sid in the same set: dynamic
       enablement is derived from *emitted* alerts, and a state-only parent
       never emits ([PUB src/processors/dynamic-rules.c] reads the output
@@ -309,15 +314,15 @@ class RuleSet:
                     raise ValueError(f"sid {r.sid}: token position must be >= 1")
             spec = r.after or r.threshold
             if spec is not None:
-                if spec.track not in ("conv_id", "role"):
+                if spec.track not in ("conv_id", "role", "tool"):
                     raise ValueError(
                         f"sid {r.sid}: unsupported track {spec.track!r} "
-                        "(conv_id and role are implemented)"
+                        "(conv_id, role and tool are implemented)"
                     )
-                if spec.track == "role" and r.flexbits:
+                if spec.track != "conv_id" and r.flexbits:
                     raise ValueError(
-                        f"sid {r.sid}: role-tracked after/threshold cannot be "
-                        "combined with flexbits (per-conv state)"
+                        f"sid {r.sid}: {spec.track}-tracked after/threshold "
+                        "cannot be combined with flexbits (per-conv state)"
                     )
             if r.depends_on is not None:
                 parent = by_sid.get(r.depends_on)

@@ -282,9 +282,15 @@ def build_stream(
         dimsmod.risk_ranges(spark),
     )
 
-    role_rules = {r.sid: r for r in ruleset.rules if r.stateful and r.track == "role"}
-    conv_sids = [r.sid for r in ruleset.rules if r.stateful and r.sid not in role_rules]
-    stateful_sids = conv_sids + list(role_rules)
+    tracked: dict[str, dict[int, Rule]] = {}
+    for r in ruleset.rules:
+        if r.stateful and r.track in ("role", "tool"):
+            tracked.setdefault(r.track, {})[r.sid] = r
+    tracked_sids = [sid for d in tracked.values() for sid in d]
+    conv_sids = [
+        r.sid for r in ruleset.rules if r.stateful and r.sid not in tracked_sids
+    ]
+    stateful_sids = conv_sids + tracked_sids
     correlated = enriched
     if stateful_sids:
         # extracted (map) is dropped through the state path: Arrow state
@@ -310,22 +316,22 @@ def build_stream(
                 timeoutConf=timeout,
             )
             correlated = correlated.unionByName(replayed)
-        if role_rules:
-            # second stateful operator, keyed by the track column (role):
-            # the streaming twin of correlate's role-keyed batch branch.
-            # TTL applies here too — a high-cardinality track key (username)
-            # needs idle-key eviction just like conversations do.
-            role_stateful = enriched.filter(
-                enriched.sid.isin(list(role_rules))
+        for col, rules in sorted(tracked.items()):
+            # one additional stateful operator per track column (role /
+            # tool): the streaming twin of correlate's track-keyed batch
+            # branches. TTL applies here too — a high-cardinality track
+            # key (username) needs idle-key eviction like conversations.
+            track_stateful = enriched.filter(
+                enriched.sid.isin(list(rules))
             ).drop("extracted")
-            role_replayed = role_stateful.groupBy("role").applyInPandasWithState(
-                _make_role_state_fn(role_rules, out_cols, state_ttl_minutes),
+            track_replayed = track_stateful.groupBy(col).applyInPandasWithState(
+                _make_role_state_fn(rules, out_cols, state_ttl_minutes),
                 outputStructType=out_schema,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=timeout,
             )
-            correlated = correlated.unionByName(role_replayed)
+            correlated = correlated.unionByName(track_replayed)
     return route.attach_rule_meta(correlated, ruleset)
 
 

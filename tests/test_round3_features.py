@@ -66,6 +66,180 @@ def _role_ruleset(count: int) -> RuleSet:
     )
 
 
+def _diff(spark, tiny_path, tiny_pdf, ruleset):
+    """Engine ≡ oracle on the tiny fixture (same contract as round 2)."""
+    from sagan_spark.engine import pipeline
+    from sagan_spark.oracle.pandas_engine import run_oracle
+
+    res = pipeline.run(spark, tiny_path, ruleset)
+    ora = run_oracle(tiny_pdf, ruleset)
+    assert res.sid_counts == ora.sid_counts
+    got = {
+        (r.conv_id, r.turn_idx, r.sid)
+        for r in res.alerts.select("conv_id", "turn_idx", "sid").collect()
+    }
+    want = {(a["conv_id"], a["turn_idx"], a["sid"]) for a in ora.alerts}
+    assert got == want
+    res.unpersist()
+    return ora
+
+
+def test_parser_by_dst_maps_to_tool():
+    """`track by_dst` → the tool column (the destination analogue in this
+    payload transposition: which tool the turn targeted)."""
+    from sagan_spark.rules.parser import parse_rule
+
+    r = parse_rule(
+        'alert any any -> any any (msg:"dst storm"; sid:4100001; '
+        'content:"retry"; after:track by_dst, count 3, seconds 600; sink:fast;)'
+    )
+    assert r.after.track == "tool"
+    assert r.track == "tool"
+
+
+def test_after_track_tool_differential(spark, tiny_path, tiny_pdf):
+    """by_dst (tool-keyed) after counters: GLOBAL per (tool, sid) in
+    event-time order — engine ≡ oracle, and the emission set must differ
+    from both the conv-keyed and role-keyed variants of the same rule
+    (proving the key actually changes the semantics)."""
+    from sagan_spark.rules.parser import parse_rule
+
+    def rs(track_kw):
+        return RuleSet(
+            (
+                parse_rule(
+                    f'alert any any -> any any (msg:"retry storm"; sid:4100002; '
+                    f'content:"retry"; after:track {track_kw}, count 3, seconds 600; '
+                    "sink:fast;)"
+                ),
+            )
+        )
+
+    ora_tool = _diff(spark, tiny_path, tiny_pdf, rs("by_dst"))
+    n_tool = ora_tool.sid_counts.get(4100002, 0)
+    assert n_tool > 0, "tool-tracked rule never fires"
+    ora_role = run_oracle_counts(tiny_pdf, rs("by_username"))
+    ora_conv = run_oracle_counts(tiny_pdf, rs("by_src"))
+    assert n_tool != ora_role or n_tool != ora_conv, (
+        "tool track indistinguishable from role and conv tracks — fixture "
+        "can't discriminate the key"
+    )
+
+
+def run_oracle_counts(pdf, ruleset) -> int:
+    from sagan_spark.oracle.pandas_engine import run_oracle
+
+    return sum(run_oracle(pdf, ruleset).sid_counts.values())
+
+
+def test_threshold_track_tool_differential(spark, tiny_path, tiny_pdf):
+    from sagan_spark.rules.model import ThresholdSpec
+
+    rs = RuleSet(
+        (
+            Rule(
+                sid=4100003,
+                msg="per-tool retry limit",
+                sink="eve",
+                contents=(ContentSpec("retry",),),
+                threshold=ThresholdSpec(type="limit", track="tool", count=2, seconds=900),
+            ),
+        )
+    )
+    ora = _diff(spark, tiny_path, tiny_pdf, rs)
+    n = ora.sid_counts.get(4100003, 0)
+    assert n > 0
+    raw = sum("retry" in (t or "") for t in tiny_pdf["text"])
+    assert n < raw, "tool-tracked limit never suppressed anything"
+
+
+def test_ruleset_rejects_tool_track_with_flexbits():
+    import pytest
+
+    from sagan_spark.rules.model import AfterSpec as AS
+    from sagan_spark.rules.model import FlexbitSpec
+
+    with pytest.raises(ValueError, match="tool-tracked"):
+        RuleSet(
+            (
+                Rule(
+                    sid=4100004,
+                    msg="bad combo",
+                    sink="fast",
+                    contents=(ContentSpec("x",),),
+                    after=AS(track="tool", count=1, seconds=60),
+                    flexbits=(FlexbitSpec("set", "b"),),
+                ),
+            )
+        )
+
+
+def test_streaming_tool_track_ordered_equals_batch(spark, tmp_path):
+    """tool-keyed (by_dst) streaming counters ≡ batch for an event-time-
+    ordered source — the same contract the role branch honors."""
+    from sagan_spark.engine import pipeline as batch_pipeline
+
+    rs = RuleSet(
+        (
+            Rule(
+                sid=4100005,
+                msg="tool-wide retry window",
+                sink="fast",
+                contents=(ContentSpec("retry",),),
+                after=AfterSpec(track="tool", count=2, seconds=900),
+            ),
+        )
+    )
+    in_dir, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    os.makedirs(in_dir)
+
+    def _write_tools(rows, path):  # (conv, turn, offset_s, tool)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sagan_spark.datagen.transcripts import SCHEMA
+
+        pdf = pd.DataFrame(
+            {
+                "conv_id": [r[0] for r in rows],
+                "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+                "role": ["user"] * len(rows),
+                "text": [RETRY_TXT] * len(rows),
+                "tool": [r[3] for r in rows],
+                "ts": pd.Series(
+                    [_TS0 + pd.Timedelta(seconds=r[2]) for r in rows]
+                ).astype("datetime64[us]"),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, schema=SCHEMA, preserve_index=False), path)
+
+    q = stream_pipeline.run_stream(spark, in_dir, out, ck, ruleset=rs, max_files_per_trigger=1)
+    try:
+        # bash reaches count 3 (emits) only if counting is tool-keyed:
+        # conv-keyed would reset per conversation, role-keyed would mix in
+        # the python rows
+        _write_tools(
+            [("convA", 0, 0, "bash"), ("convA", 1, 10, "python")],
+            os.path.join(in_dir, "f1.parquet"),
+        )
+        q.processAllAvailable()
+        _write_tools(
+            [("convB", 0, 20, "bash"), ("convB", 1, 30, "bash")],
+            os.path.join(in_dir, "f2.parquet"),
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(_fired(spark, out, 4100005))
+    ref = batch_pipeline.run(spark, in_dir, rs)
+    want = sorted(
+        (r.conv_id, r.turn_idx)
+        for r in ref.alerts.select("conv_id", "turn_idx").collect()
+    )
+    ref.unpersist()
+    assert got == want == [("convB", 1)], (got, want)
+
+
 def test_alert_schema_mode_invariant(spark, tiny_path):
     """PipelineResult.alerts must have the SAME schema whether enrich
     conditions were constant-folded (fold_dims=True, the default) or
