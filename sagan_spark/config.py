@@ -1,0 +1,197 @@
+"""Config-file entry point (S10) — the sagan.yaml analogue.
+
+The reference wires rule paths, input/output plumbing and engine knobs
+through one YAML config ([PUB etc/sagan.yaml], SURVEY §2.1 S10). Here the
+same role is played by a ``sagan_spark.yaml`` consumed by
+``scripts/run_pipeline.py --config``:
+
+    # sagan_spark.yaml
+    input: /data/transcripts          # parquet dir / Iceberg identifier
+    output: /data/alerts              # sink dir (optional: counts-only)
+    mode: batch                       # batch | resumable | stream | dynamic
+    rules:                            # .rules files (empty -> canonical set)
+      - rules/base.rules
+      - rules/extra.rules
+    engine:
+      match_mode: fused               # fused | hybrid | udf
+      fold_dims: true
+      shuffle_partitions: 4096
+      state_ttl_minutes: 30           # streaming state eviction
+      max_files_per_trigger: 1
+      checkpoint_dir: /data/ck
+      resume_dir: /data/alerts/_bookmarks
+      master: local[32]               # usually left to spark-submit
+
+Parsing: the container has no YAML library, so ``parse_config`` implements
+the exact subset above (flat keys, one ``engine:`` mapping, one ``rules:``
+list, comments, quoted strings, int/float/bool/null scalars) with LOUD
+failures on anything else — a config typo must never silently become a
+default. ``dump_config`` emits the same subset; round-trip is tested.
+CLI flags override config values (see scripts/run_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    input: str | None = None
+    output: str | None = None
+    mode: str = "batch"  # batch | resumable | stream | dynamic
+    rules: tuple[str, ...] = ()  # .rules file paths; empty -> CANONICAL
+    # engine: section
+    match_mode: str = "fused"
+    fold_dims: bool = True
+    shuffle_partitions: int | None = None
+    master: str | None = None
+    state_ttl_minutes: float | None = None
+    max_files_per_trigger: int = 1
+    checkpoint_dir: str | None = None
+    resume_dir: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.mode not in ("batch", "resumable", "stream", "dynamic"):
+            raise ValueError(f"unknown mode {self.mode!r}")
+        if self.match_mode not in ("fused", "hybrid", "udf"):
+            raise ValueError(f"unknown match_mode {self.match_mode!r}")
+
+
+_TOP_KEYS = {"input", "output", "mode"}
+_ENGINE_KEYS = {
+    "match_mode",
+    "fold_dims",
+    "shuffle_partitions",
+    "master",
+    "state_ttl_minutes",
+    "max_files_per_trigger",
+    "checkpoint_dir",
+    "resume_dir",
+}
+
+
+def _scalar(v: str):
+    v = v.strip()
+    if not v or v in ("null", "~"):
+        return None
+    if v in ("true", "True"):
+        return True
+    if v in ("false", "False"):
+        return False
+    if (v[0] == v[-1] == '"') or (v[0] == v[-1] == "'"):
+        return v[1:-1]
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    return v
+
+
+def _strip_comment(line: str) -> str:
+    """Drop a trailing comment (a ``#`` outside quotes)."""
+    out, inq = [], None
+    for ch in line:
+        if inq:
+            out.append(ch)
+            if ch == inq:
+                inq = None
+        elif ch in "\"'":
+            inq = ch
+            out.append(ch)
+        elif ch == "#":
+            break
+        else:
+            out.append(ch)
+    return "".join(out).rstrip()
+
+
+def parse_config(text: str) -> PipelineConfig:
+    kw: dict = {}
+    rules: list[str] = []
+    section: str | None = None  # None | "engine" | "rules"
+    for lineno, raw in enumerate(text.splitlines(), 1):
+        line = _strip_comment(raw)
+        if not line.strip():
+            continue
+        indented = line[0] in " \t"
+        body = line.strip()
+        if not indented:
+            section = None
+            if body == "rules:":
+                section = "rules"
+                continue
+            if body == "engine:":
+                section = "engine"
+                continue
+            if ":" not in body:
+                raise ValueError(f"line {lineno}: expected 'key: value', got {body!r}")
+            k, _, v = body.partition(":")
+            k = k.strip()
+            if k not in _TOP_KEYS:
+                raise ValueError(f"line {lineno}: unknown top-level key {k!r}")
+            kw[k] = _scalar(v)
+        elif section == "rules":
+            if not body.startswith("- "):
+                raise ValueError(f"line {lineno}: rules entries must be '- path'")
+            rules.append(str(_scalar(body[2:])))
+        elif section == "engine":
+            if ":" not in body:
+                raise ValueError(f"line {lineno}: expected 'key: value', got {body!r}")
+            k, _, v = body.partition(":")
+            k = k.strip()
+            if k not in _ENGINE_KEYS:
+                raise ValueError(f"line {lineno}: unknown engine key {k!r}")
+            kw[k] = _scalar(v)
+        else:
+            raise ValueError(f"line {lineno}: indented line outside a section: {body!r}")
+    # drop explicit nulls so dataclass defaults apply
+    kw = {k: v for k, v in kw.items() if v is not None}
+    return PipelineConfig(rules=tuple(rules), **kw)
+
+
+def load_config(path: str) -> PipelineConfig:
+    with open(path) as f:
+        return parse_config(f.read())
+
+
+def dump_config(cfg: PipelineConfig) -> str:
+    """Emit the canonical form of the supported subset (round-trip safe:
+    parse_config(dump_config(c)) == c)."""
+
+    def fmt(v) -> str:
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    lines = [f"{k}: {fmt(getattr(cfg, k))}" for k in ("input", "output", "mode")]
+    if cfg.rules:
+        lines.append("rules:")
+        lines += [f"  - {p}" for p in cfg.rules]
+    lines.append("engine:")
+    for f_ in fields(cfg):
+        if f_.name in _ENGINE_KEYS:
+            lines.append(f"  {f_.name}: {fmt(getattr(cfg, f_.name))}")
+    return "\n".join(lines) + "\n"
+
+
+def load_ruleset(cfg: PipelineConfig):
+    """The configured RuleSet: parse + merge the .rules files, or the
+    built-in canonical set when none are configured (sid collisions across
+    files fail loudly in RuleSet validation)."""
+    from .rules.canonical import CANONICAL
+    from .rules.model import RuleSet
+    from .rules.parser import load_rules
+
+    if not cfg.rules:
+        return CANONICAL
+    rules: list = []
+    for path in cfg.rules:
+        rules.extend(load_rules(path).rules)
+    return RuleSet(tuple(rules))

@@ -10,6 +10,11 @@
         --resume-dir s3://bucket/alerts/_bookmarks \
         --mode resumable
 
+or, config-driven (the sagan.yaml analogue — see sagan_spark/config.py for
+the format; explicit CLI flags override config values):
+
+    spark-submit ... scripts/run_pipeline.py --config sagan_spark.yaml
+
 Modes:
   batch      one-shot run, per-sink writes + counts to stdout (JSON)
   resumable  unit-based run with the bookmark manifest (skips done units)
@@ -32,45 +37,75 @@ try:
 except ModuleNotFoundError:  # standalone/dev: the package sits next to scripts/
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sagan_spark.config import PipelineConfig, load_config, load_ruleset
 from sagan_spark.engine import checkpoint, pipeline
 from sagan_spark.rules.bulk import bulk_ruleset
-from sagan_spark.rules.canonical import CANONICAL
 from sagan_spark.session import get_spark
 
 
-def main() -> None:
+def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--config", default=None, help="sagan_spark.yaml (CLI flags override)")
+    ap.add_argument("--input", default=None)
     ap.add_argument("--output", default=None)
-    ap.add_argument("--mode", choices=["batch", "resumable", "stream", "dynamic"], default="batch")
-    ap.add_argument("--ruleset", choices=["canonical", "bulk", "bulk-production"], default="canonical")
+    ap.add_argument("--mode", choices=["batch", "resumable", "stream", "dynamic"], default=None)
+    ap.add_argument(
+        "--ruleset",
+        choices=["canonical", "bulk", "bulk-production"],
+        default=None,
+        help="built-in rule-set name; config `rules:` file paths take effect when unset",
+    )
     ap.add_argument("--resume-dir", default=None)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--master", default=None)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
-    ruleset = {
-        "canonical": CANONICAL,
-        "bulk": bulk_ruleset(),
-        "bulk-production": bulk_ruleset(production=True),
-    }[args.ruleset]
-    spark = get_spark(app_name="sagan_pipeline", master=args.master)
+    cfg = load_config(args.config) if args.config else PipelineConfig()
+    # precedence: explicit CLI flag > config value > PipelineConfig default
+    inp = args.input or cfg.input
+    if not inp:
+        ap.error("--input required (flag or config `input:`)")
+    output = args.output or cfg.output
+    mode = args.mode or cfg.mode
+    resume_dir = args.resume_dir or cfg.resume_dir
+    checkpoint_dir = args.checkpoint_dir or cfg.checkpoint_dir
 
-    if args.mode == "batch":
-        res = pipeline.run(spark, args.input, ruleset, out_dir=args.output)
+    if args.ruleset is not None:
+        ruleset = {
+            "canonical": load_ruleset(PipelineConfig()),
+            "bulk": bulk_ruleset(),
+            "bulk-production": bulk_ruleset(production=True),
+        }[args.ruleset]
+    else:
+        ruleset = load_ruleset(cfg)
+    spark = get_spark(
+        app_name="sagan_pipeline",
+        master=args.master or cfg.master,
+        **({"shuffle_partitions": cfg.shuffle_partitions} if cfg.shuffle_partitions else {}),
+    )
+
+    if mode == "batch":
+        res = pipeline.run(
+            spark, inp, ruleset, out_dir=output,
+            fold_dims=cfg.fold_dims, match_mode=cfg.match_mode,
+        )
         print(json.dumps({"sink_counts": res.sink_counts, "sid_counts": res.sid_counts}))
         res.unpersist()
-    elif args.mode == "dynamic":
-        res = pipeline.run_dynamic(spark, args.input, ruleset, out_dir=args.output)
+    elif mode == "dynamic":
+        res = pipeline.run_dynamic(spark, inp, ruleset, out_dir=output)
         print(json.dumps({"sink_counts": res.sink_counts, "sid_counts": res.sid_counts}))
-    elif args.mode == "resumable":
-        out = args.resume_dir or (args.output + "/_bookmarks")
-        r = checkpoint.run_resumable(spark, args.input, out, ruleset)
+    elif mode == "resumable":
+        out = resume_dir or (output + "/_bookmarks")
+        r = checkpoint.run_resumable(spark, inp, out, ruleset)
         print(json.dumps({"processed": r.processed_units, "skipped": r.skipped_units, **r.totals}))
     else:  # stream
         from sagan_spark.streaming import pipeline as sp
 
-        q = sp.run_stream(spark, args.input, args.output, args.checkpoint_dir, ruleset)
+        q = sp.run_stream(
+            spark, inp, output, checkpoint_dir, ruleset,
+            max_files_per_trigger=cfg.max_files_per_trigger,
+            state_ttl_minutes=cfg.state_ttl_minutes,
+        )
         q.awaitTermination()
 
 
