@@ -559,16 +559,21 @@ def q_multimodal_stats(spark, sf):
     return MM.media_stats(MM.synthesize_media(d))
 
 
-def q_multimodal_features(spark, sf):  # mapInPandas feature stage — checked
-    # projection sticks to SQL-verifiable outputs (kind, sizes, md5 payload
-    # checksums); width/height come from the stubbed decoder and are
-    # asserted in pytest instead, so the stub can't fake a green oracle row
+def q_multimodal_features(spark, sf):  # mapInPandas feature stage.
+    # Image width/height come from REAL byte-level PNG header parsing
+    # (ops/multimodal.parse_image_header) and are oracle-checked against
+    # the datagen formula — the parse must read the exact IHDR bytes to go
+    # green; audio/video dimensions are the documented stub. Checksums are
+    # checked as distinct-counts (DuckDB md5 can't take BLOBs, but distinct
+    # md5(payload) == distinct payload-hex).
     d = _t(spark, sf, "documents")
     feats = MM.extract_features(MM.synthesize_media(d))
     return feats.groupBy("kind").agg(
         F.count("*").alias("n"),
         F.sum("n_bytes").cast("long").alias("bytes_sum"),
         F.countDistinct("checksum").alias("distinct_checksums"),
+        F.sum("width").cast("long").alias("width_sum"),
+        F.sum("height").cast("long").alias("height_sum"),
     )
 
 
@@ -953,10 +958,12 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM embeddings GROUP BY label""",
         "multimodal_stats": """
+            -- image payloads carry the 33-byte synthetic PNG header
             SELECT kind, COUNT(*) AS n,
-                   CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-                   ROUND(AVG(octet_length(encode(text))), 4) AS avg_bytes
-            FROM (SELECT text,
+                   CAST(SUM(nb) AS BIGINT) AS total_bytes,
+                   ROUND(AVG(nb), 4) AS avg_bytes
+            FROM (SELECT octet_length(encode(text))
+                           + CASE WHEN doc_id % 3 = 0 THEN 33 ELSE 0 END AS nb,
                          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                               ELSE 'video' END AS kind
                   FROM documents)
@@ -1054,14 +1061,29 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "multimodal_features": """
+            -- payload_hex rebuilds the engine's exact payload bytes (PNG
+            -- header + text for images) as a hex string: DuckDB md5 can't
+            -- take BLOBs, but COUNT(DISTINCT payload) == COUNT(DISTINCT
+            -- md5(payload)); image width/height re-derive the datagen
+            -- formula the engine must recover by PARSING the IHDR bytes,
+            -- audio/video use the documented stub formula over length
             SELECT kind, COUNT(*) AS n,
-                   CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes_sum,
-                   COUNT(DISTINCT md5(text)) AS distinct_checksums
-            FROM (SELECT text,
+                   CAST(SUM(nb) AS BIGINT) AS bytes_sum,
+                   COUNT(DISTINCT payload_hex) AS distinct_checksums,
+                   CAST(SUM(CASE WHEN kind = 'image' THEN (doc_id % 512) + 16
+                            ELSE (nb % 640) + 1 END) AS BIGINT) AS width_sum,
+                   CAST(SUM(CASE WHEN kind = 'image' THEN (doc_id % 384) + 16
+                            ELSE (nb % 480) + 1 END) AS BIGINT) AS height_sum
+            FROM (SELECT doc_id,
+                         octet_length(encode(text))
+                           + CASE WHEN doc_id % 3 = 0 THEN 33 ELSE 0 END AS nb,
+                         CASE WHEN doc_id % 3 = 0
+                              THEN {hdr} || hex(encode(text))
+                              ELSE hex(encode(text)) END AS payload_hex,
                          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                               ELSE 'video' END AS kind
                   FROM documents)
-            GROUP BY kind""",
+            GROUP BY kind""".format(hdr=_PNG_HDR_HEX_SQL),
         "multimodal_frames": """
             WITH v AS (
               SELECT octet_length(encode(text)) AS L
@@ -1073,19 +1095,22 @@ def oracle_sql() -> dict[str, str]:
                      AS bytes_sum
             FROM f GROUP BY frame_idx""",
         "multimodal_resize": """
-            -- DuckDB can't slice BLOBs; the documents corpus is pure ASCII
-            -- (verified at every sf), so char slicing == the engine's byte
-            -- truncation and md5(encode(substr)) matches md5(payload[:64])
+            -- DuckDB can't slice BLOBs, so byte truncation is expressed on
+            -- the payload's HEX string (2 hex chars per byte: 64 bytes =
+            -- 128 chars); distinct truncated payloads == distinct md5s
             SELECT kind, COUNT(*) AS n,
-                   CAST(SUM(least(octet_length(encode(text)), 64)) AS BIGINT)
-                     AS bytes_sum,
-                   COUNT(DISTINCT md5(substring(text, 1, 64)))
+                   CAST(SUM(least(nb, 64)) AS BIGINT) AS bytes_sum,
+                   COUNT(DISTINCT substring(payload_hex, 1, 128))
                      AS distinct_payloads
-            FROM (SELECT text,
+            FROM (SELECT octet_length(encode(text))
+                           + CASE WHEN doc_id % 3 = 0 THEN 33 ELSE 0 END AS nb,
+                         CASE WHEN doc_id % 3 = 0
+                              THEN {hdr} || hex(encode(text))
+                              ELSE hex(encode(text)) END AS payload_hex,
                          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                               ELSE 'video' END AS kind
                   FROM documents)
-            GROUP BY kind""",
+            GROUP BY kind""".format(hdr=_PNG_HDR_HEX_SQL),
         "lsh_bucket_stats": """
             WITH toks AS (
               SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
@@ -1144,6 +1169,17 @@ def oracle_sql() -> dict[str, str]:
         # no oracle (rows-only): none — every queries() entry above has a
         # DuckDB oracle.
     }
+
+
+# The synthetic PNG header (ops/multimodal.png_header) re-expressed as a
+# DuckDB hex-string expression over doc_id — shared by the multimodal
+# oracles that must rebuild the engine's exact payload bytes.
+_PNG_HDR_HEX_SQL = (
+    "'89504E470D0A1A0A0000000D49484452' || "
+    "lpad(to_hex((doc_id % 512) + 16), 8, '0') || "
+    "lpad(to_hex((doc_id % 384) + 16), 8, '0') || "
+    "'080600000000000000'"
+)
 
 
 # The S2 field-mapped transcript view (events_as_transcripts) re-expressed

@@ -49,14 +49,45 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+# Real PNG plumbing for the synthetic image payloads: an 8-byte signature
+# + a 25-byte IHDR chunk (length, "IHDR", width/height as big-endian u32,
+# bit depth 8 / color type 6 / three zero bytes, then a zeroed CRC — the
+# fixture parser reads dimensions, it does not verify CRCs). 33 bytes total.
+PNG_SIG_HEX = "89504E470D0A1A0A"
+_IHDR_PRE_HEX = "0000000D49484452"  # chunk length 13 + "IHDR"
+_IHDR_POST_HEX = "080600000000000000"  # depth/color/c/f/i + zero CRC
+PNG_HEADER_BYTES = 33
+
+
+def png_header(width, height):
+    """Column expression: a real PNG signature+IHDR for (width, height) —
+    built JVM-side from hex literals + lpad(hex(int)) big-endian u32s."""
+    return F.unhex(
+        F.concat(
+            F.lit(PNG_SIG_HEX + _IHDR_PRE_HEX),
+            F.lpad(F.hex(width), 8, "0"),
+            F.lpad(F.hex(height), 8, "0"),
+            F.lit(_IHDR_POST_HEX),
+        )
+    )
+
+
 def synthesize_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Deterministic fake media table from a text corpus: payload =
-    UTF-8 bytes of the text (stands in for encoded image bytes)."""
+    """Deterministic fake media table from a text corpus. Image payloads
+    carry a REAL PNG signature + IHDR header (width = id%512+16,
+    height = id%384+16) followed by the text bytes, so the image feature
+    kernel exercises real byte-level header parsing and its output is
+    SQL-oracle-checkable against the datagen formula; audio/video payloads
+    are the raw UTF-8 text bytes (their decoders stay stubbed — no
+    ffmpeg/audio libs in this container)."""
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.pmod(F.col(id_col), 3) + 1).cast("int"),
     )
-    payload = F.encode(F.col(text_col), "utf-8")
+    body = F.encode(F.col(text_col), "utf-8")
+    width = (F.pmod(F.col(id_col), 512) + 16).cast("int")
+    height = (F.pmod(F.col(id_col), 384) + 16).cast("int")
+    payload = F.when(kind == "image", F.concat(png_header(width, height), body)).otherwise(body)
     return df.select(
         F.col(id_col).alias("media_id"),
         kind.alias("kind"),
@@ -66,11 +97,28 @@ def synthesize_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def parse_image_header(payload: bytes) -> tuple[int, int] | None:
+    """REAL image header parsing, pure Python (no PIL needed for
+    dimensions): PNG (IHDR big-endian u32 pair at offset 16) and GIF87a/
+    GIF89a (little-endian u16 pair at offset 6). Returns None when the
+    payload is not a recognizable image — callers fall back to the stub."""
+    import struct
+
+    if len(payload) >= 24 and payload[:8] == bytes.fromhex(PNG_SIG_HEX):
+        w, h = struct.unpack(">II", payload[16:24])
+        return int(w), int(h)
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return int(w), int(h)
+    return None
+
+
 def _decode_stub(payload: bytes, kind: str) -> tuple[int, int]:
-    """STUB decode: real image/audio decoding requires PIL/ffmpeg, absent
-    in this container. Deterministic fake: derive (width, height) from the
-    payload length so tests are stable. Replace with a real decoder by
-    swapping this function only — the Spark plumbing stays identical."""
+    """STUB decode for audio/video (and unparseable images): real decoding
+    requires ffmpeg/audio libs, absent in this container. Deterministic
+    fake: derive (width, height) from the payload length so tests are
+    stable. Replace with a real decoder by swapping this function only —
+    the Spark plumbing stays identical."""
     n = len(payload)
     return (n % 640) + 1, (n % 480) + 1
 
@@ -80,7 +128,8 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     Batch shape: Arrow delivers ``payload`` as object-dtype bytes; the
     checksum (md5) is computed Python-side to mimic a real kernel's cost
-    profile; width/height come from the (stubbed) decoder."""
+    profile. Image width/height come from REAL header parsing
+    (parse_image_header); audio/video from the stub."""
 
     from ..packaging import ensure_shipped
 
@@ -89,15 +138,22 @@ def extract_features(media: DataFrame) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        def dims(p: bytes, k: str) -> tuple[int, int]:
+            if k == "image":
+                parsed = parse_image_header(p)
+                if parsed is not None:
+                    return parsed
+            return _decode_stub(p, k)
+
         for pdf in batches:
-            dims = [_decode_stub(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            wh = [dims(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["n_bytes"],
-                    "width": pd.array([w for w, _ in dims], dtype="int32"),
-                    "height": pd.array([h for _, h in dims], dtype="int32"),
+                    "width": pd.array([w for w, _ in wh], dtype="int32"),
+                    "height": pd.array([h for _, h in wh], dtype="int32"),
                     "checksum": [hashlib.md5(p).hexdigest() for p in pdf["payload"]],
                 }
             )

@@ -222,17 +222,43 @@ def test_ivf_index_written_partition_pruning(spark, emb, tmp_path):
     assert got == want
 
 
-def test_multimodal_stub_decoder_deterministic(spark):
-    """width/height are excluded from the SQL oracle because they come from
-    the stub; assert the stub's documented contract here instead."""
+def test_multimodal_image_header_parsed_for_real(spark):
+    """Image payloads carry a real PNG signature+IHDR; the feature kernel
+    must recover width/height by parsing those bytes (doc_id 0 -> image:
+    16x16 from the datagen formula). Audio keeps the documented stub."""
     df = spark.createDataFrame(
         [(0, "abcd"), (1, "a much longer payload body for the fake decoder")],
         "doc_id: long, text: string",
     )
     feats = MM.extract_features(MM.synthesize_media(df)).collect()
     by_id = {r.media_id: r for r in feats}
-    for i, text in [(0, "abcd"), (1, "a much longer payload body for the fake decoder")]:
-        n = len(text.encode())
-        assert by_id[i].width == (n % 640) + 1
-        assert by_id[i].height == (n % 480) + 1
-        assert by_id[i].n_bytes == n
+    # doc 0: image — parsed from IHDR bytes, payload = 33-byte header + text
+    assert by_id[0].kind == "image"
+    assert (by_id[0].width, by_id[0].height) == (16, 16)
+    assert by_id[0].n_bytes == 33 + 4
+    # doc 1: audio — stub formula over payload length
+    n = len("a much longer payload body for the fake decoder".encode())
+    assert by_id[1].kind == "audio"
+    assert by_id[1].width == (n % 640) + 1
+    assert by_id[1].height == (n % 480) + 1
+    assert by_id[1].n_bytes == n
+
+
+def test_parse_image_header_png_gif_and_fallback():
+    """The pure-Python header parser: real PNG bytes, real GIF bytes, and
+    None for unrecognizable payloads (callers fall back to the stub)."""
+    import struct
+
+    png = (
+        bytes.fromhex("89504E470D0A1A0A")
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 800, 600)
+        + bytes([8, 6, 0, 0, 0])
+        + b"\x00\x00\x00\x00"
+    )
+    assert MM.parse_image_header(png) == (800, 600)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert MM.parse_image_header(gif) == (320, 200)
+    assert MM.parse_image_header(b"not an image at all") is None
+    assert MM.parse_image_header(b"\x89PNG") is None  # truncated header
