@@ -152,6 +152,83 @@ def lsh_bucket_stats(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame, a: str = "a", b: str = "b", max_iters: int = 20
+) -> DataFrame:
+    """Duplicate GROUPS from candidate pairs: connected components, each
+    node labeled with the min doc id of its component — the final step of
+    the dedup chain (exact/LSH/cosine pairs → clusters → keep one survivor
+    per cluster). Returns (doc_id, cluster).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbors' labels) via ONE join + ONE groupBy on
+    the undirected edge list; stop when no label changes (checked with a
+    count on the same pass). Rounds needed = component diameter, which for
+    near-dup clusters is tiny (boilerplate families are dense, quasi-
+    cliques). 100 TB shape: each round is a self-contained shuffle pair on
+    the node id; lineage is truncated per round (localCheckpoint) so the
+    plan stays O(1) deep instead of O(iters); the driver sees only a
+    one-row convergence count per round. For adversarial long-chain graphs
+    switch to large-star/small-star contraction (O(log n) rounds, same
+    join primitives) — not needed for dedup workloads.
+
+    Raises after ``max_iters`` non-converged rounds (loud beats silently
+    wrong clusters).
+    """
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("cluster").alias("nmin"))
+            )
+            merged = (
+                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    "cluster",
+                    F.least(F.col("cluster"), F.coalesce("nmin", F.col("cluster"))).alias(
+                        "new_cluster"
+                    ),
+                )
+            )
+            # ONE job per round: the eager localCheckpoint materializes the
+            # merged labels (and truncates lineage — O(1)-deep plan per
+            # round); the convergence count then reads the cached blocks
+            merged = merged.localCheckpoint()
+            changed = merged.where(F.col("cluster") != F.col("new_cluster")).count()
+            labels = merged.select("node", F.col("new_cluster").alias("cluster"))
+            if changed == 0:
+                return labels.select(F.col("node").alias("doc_id"), "cluster")
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds — "
+            "component diameter exceeds the dedup assumption; use star "
+            "contraction for this graph"
+        )
+    finally:
+        edges.unpersist()
+
+
+def dedup_survivors(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per duplicate cluster (min id — matching exact_dedup's
+    survivor rule); rows in no cluster pass through. Anti-join on the
+    non-survivor set: only duplicate ids shuffle, the corpus doesn't."""
+    losers = clusters.where(F.col(id_col) != F.col("cluster")).select(id_col)
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def ngram_jaccard(
     sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

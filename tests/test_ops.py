@@ -222,6 +222,72 @@ def test_ivf_index_written_partition_pruning(spark, emb, tmp_path):
     assert got == want
 
 
+def _union_find(pairs):
+    """Independent pure-Python oracle: min-id connected components."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in pairs:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    return {x: find(x) for x in parent}
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Min-label propagation over a graph with a chain (diameter 4), a
+    triangle, an isolated pair, and a star — labels must equal an
+    independent union-find's min-id components."""
+    pairs = [
+        (1, 2), (2, 3), (3, 4), (4, 5),          # chain
+        (10, 11), (11, 12), (10, 12),            # triangle
+        (20, 21),                                # pair
+        (30, 31), (30, 32), (30, 33), (30, 34),  # star
+    ]
+    df = spark.createDataFrame(pairs, "a: long, b: long")
+    got = {r.doc_id: r.cluster for r in D.dedup_clusters(df).collect()}
+    assert got == _union_find(pairs)
+
+
+def test_dedup_chain_end_to_end(spark):
+    """The full dedup chain on a corpus with two near-dup families:
+    shingles → minhash → LSH pairs → clusters → survivors. Survivor set =
+    one min-id doc per family + every unique doc (checked against
+    union-find over the SAME pair set, so the clustering step is isolated
+    from LSH recall)."""
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [(i, base + f" variant {i % 2}") for i in range(6)]  # 2 families of 3
+    rows += [(100 + i, f"totally unique document {i} about {i * 13} things") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sh = D.shingles(df)
+    sig = D.minhash_signature(sh, num_hashes=8)
+    pairs = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=None)
+    pair_list = [(r.a, r.b) for r in pairs.collect()]
+    assert pair_list, "fixture lost its near-dup families"
+    clusters = D.dedup_clusters(pairs)
+    uf = _union_find(pair_list)
+    survivors = sorted(
+        r.doc_id for r in D.dedup_survivors(df, clusters).select("doc_id").collect()
+    )
+    want = sorted(
+        {i for i, _ in rows} - {x for x, root in uf.items() if root != x}
+    )
+    assert survivors == want
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a: long, b: long")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_clusters(df, max_iters=1)
+
+
 def test_multimodal_image_header_parsed_for_real(spark):
     """Image payloads carry a real PNG signature+IHDR; the feature kernel
     must recover width/height by parsing those bytes (doc_id 0 -> image:
