@@ -93,17 +93,22 @@ def _scalar(v: str):
 
 
 def _strip_comment(line: str) -> str:
-    """Drop a trailing comment (a ``#`` outside quotes)."""
-    out, inq = [], None
-    for ch in line:
-        if inq:
+    """Drop a trailing comment. YAML-compatible rule: ``#`` starts a
+    comment only at line start or when preceded by whitespace (so
+    ``input: /data/run#1`` keeps its ``#``), and never inside a
+    DOUBLE-quoted span. Apostrophes are ordinary characters (``Bob's``
+    must not toggle quoting); use double quotes for a value that itself
+    contains ``' #'``."""
+    out, in_dq = [], False
+    for i, ch in enumerate(line):
+        if ch == '"':
+            in_dq = not in_dq
             out.append(ch)
-            if ch == inq:
-                inq = None
-        elif ch in "\"'":
-            inq = ch
-            out.append(ch)
-        elif ch == "#":
+        elif (
+            ch == "#"
+            and not in_dq
+            and (i == 0 or line[i - 1] in " \t")
+        ):
             break
         else:
             out.append(ch)

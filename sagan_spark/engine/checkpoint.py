@@ -106,6 +106,8 @@ def run_resumable(
     ruleset: RuleSet = CANONICAL,
     files_per_unit: int = 1,
     max_units: int | None = None,
+    fold_dims: bool = True,
+    match_mode: str = "fused",
 ) -> ResumableResult:
     """Process input units not yet marked done; write per-sink parquet under
     ``out_dir/sinks/<sink>/unit=<uid>`` and update the manifest after each
@@ -136,7 +138,9 @@ def run_resumable(
         t0 = time.time()
         df = spark.read.parquet(*files)
         rows_in = df.count()
-        alerts = pl.build_alerts(spark, df, ruleset).persist()
+        alerts = pl.build_alerts(
+            spark, df, ruleset, fold_dims=fold_dims, match_mode=match_mode
+        ).persist()
         per_sink = {r["sink"]: r["n"] for r in route.sink_counts(alerts).collect()}
         per_sid = {str(r["sid"]): r["n"] for r in route.sid_counts(alerts).collect()}
         for sink in ruleset.sinks():

@@ -174,6 +174,8 @@ def run_dynamic(
     input_path: str,
     ruleset: RuleSet = CANONICAL,
     out_dir: str | None = None,
+    fold_dims: bool = True,
+    match_mode: str = "fused",
 ) -> PipelineResult:
     """C7 depends_on / dynamic rules ([PUB src/processors/dynamic-rules.c]),
     two-pass batch semantics: pass 1 runs all independent rules; a dependent
@@ -183,12 +185,15 @@ def run_dynamic(
     pass 2 can also be narrowed by its own fast patterns."""
     base = RuleSet(tuple(r for r in ruleset.rules if r.depends_on is None))
     dependents = [r for r in ruleset.rules if r.depends_on is not None]
-    res = run(spark, input_path, base, out_dir=None)
+    res = run(spark, input_path, base, out_dir=None, fold_dims=fold_dims, match_mode=match_mode)
     if dependents:
         fired = set(res.sid_counts)
         enabled = tuple(r for r in dependents if r.depends_on in fired)
         if enabled:
-            res2 = run(spark, input_path, RuleSet(enabled), out_dir=None)
+            res2 = run(
+                spark, input_path, RuleSet(enabled), out_dir=None,
+                fold_dims=fold_dims, match_mode=match_mode,
+            )
             for k, v in res2.sink_counts.items():
                 res.sink_counts[k] = res.sink_counts.get(k, 0) + v
             res.sid_counts.update(res2.sid_counts)

@@ -172,9 +172,13 @@ def dedup_clusters(
     switch to large-star/small-star contraction (O(log n) rounds, same
     join primitives) — not needed for dedup workloads.
 
+    Output columns are always (``doc_id``, ``cluster``) regardless of the
+    input pair column names (dedup_survivors relies on that contract).
     Raises after ``max_iters`` non-converged rounds (loud beats silently
     wrong clusters).
     """
+    from pyspark import StorageLevel
+
     fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -185,8 +189,9 @@ def dedup_clusters(
         .withColumn("cluster", F.col("node"))
         .localCheckpoint()
     )
+    prev = None  # previous round's materialized labels, dropped each round
     try:
-        for _ in range(max_iters):
+        for i in range(max_iters):
             neighbor_min = (
                 edges.join(labels, edges.dst == labels.node)
                 .groupBy("src")
@@ -202,14 +207,28 @@ def dedup_clusters(
                     ),
                 )
             )
-            # ONE job per round: the eager localCheckpoint materializes the
-            # merged labels (and truncates lineage — O(1)-deep plan per
-            # round); the convergence count then reads the cached blocks
-            merged = merged.localCheckpoint()
+            # Storage stays bounded at ~2 label-set copies: each round is
+            # materialized (persist + count — the count also decides
+            # convergence from the cached blocks), and the PREVIOUS round
+            # is explicitly unpersisted once the new one exists. Every 5th
+            # round a localCheckpoint replaces the persist to truncate
+            # lineage (analysis cost stays O(1) instead of O(iters));
+            # dropped checkpoint blocks are reclaimed by the ContextCleaner
+            # once `prev` stops referencing them.
+            if (i + 1) % 5 == 0:
+                merged = merged.localCheckpoint()
+            else:
+                merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
             changed = merged.where(F.col("cluster") != F.col("new_cluster")).count()
+            if prev is not None:
+                prev.unpersist()
+            prev = merged
             labels = merged.select("node", F.col("new_cluster").alias("cluster"))
             if changed == 0:
-                return labels.select(F.col("node").alias("doc_id"), "cluster")
+                out = labels.select(
+                    F.col("node").alias("doc_id"), "cluster"
+                ).localCheckpoint()
+                return out
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds — "
             "component diameter exceeds the dedup assumption; use star "
@@ -217,15 +236,21 @@ def dedup_clusters(
         )
     finally:
         edges.unpersist()
+        if prev is not None:
+            prev.unpersist()
 
 
 def dedup_survivors(
     df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep one row per duplicate cluster (min id — matching exact_dedup's
-    survivor rule); rows in no cluster pass through. Anti-join on the
+    survivor rule); rows in no cluster pass through. ``clusters`` is
+    dedup_clusters output and always has columns (doc_id, cluster);
+    ``id_col`` names the id column of ``df`` only. Anti-join on the
     non-survivor set: only duplicate ids shuffle, the corpus doesn't."""
-    losers = clusters.where(F.col(id_col) != F.col("cluster")).select(id_col)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster")).select(
+        F.col("doc_id").alias(id_col)
+    )
     return df.join(losers, on=id_col, how="left_anti")
 
 

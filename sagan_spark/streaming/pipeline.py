@@ -119,7 +119,10 @@ def _replay_batch_incremental(
 
 
 def _make_role_state_fn(
-    role_rules: dict[int, Rule], out_cols: list[str], ttl_minutes: int | None = None
+    role_rules: dict[int, Rule],
+    out_cols: list[str],
+    ttl_minutes: int | None = None,
+    hwm_cap: int = 100_000,
 ):
     """track="role" (by_username) streaming counters, keyed by the track
     value.
@@ -137,8 +140,13 @@ def _make_role_state_fn(
       GLOBAL (track value, sid) counter a second time and shift which
       events emit, so the state blob carries a per-conversation turn
       high-water mark; rows at or below their conversation's mark are
-      DROPPED AND COUNTED (``late``). Memory is O(active conversations per
-      track value) — the same order as the conv branch's one-state-per-conv.
+      DROPPED AND COUNTED (``late``). The mark map is BOUNDED at
+      ``hwm_cap`` conversations per track key, evicted least-recently-
+      updated first (a live track key like a 4-value role never idles, so
+      TTL alone cannot bound it): redelivery of a conversation older than
+      the cap window goes undetected — the same bounded-memory trade the
+      TTL makes, documented rather than an unbounded blob that would grow
+      one entry per conversation ever seen and OOM the state store.
     - ``ttl_minutes``: ProcessingTimeTimeout eviction of idle track keys —
       required when the track key is a high-cardinality username column
       (fine to leave None for 4-value role tracks that never go idle);
@@ -166,7 +174,13 @@ def _make_role_state_fn(
                 late += int(late_mask.sum())
                 pdf = pdf.loc[~late_mask]
             for conv, t in pdf.groupby("conv_id")["turn_idx"].max().items():
-                hwm[conv] = max(hwm.get(conv, -1), int(t))
+                # delete-then-insert keeps dict order = recency (JSON
+                # round-trips preserve it), making the cap eviction LRU
+                hwm.pop(conv, None)
+                hwm[conv] = max(-1, int(t))
+            if len(hwm) > hwm_cap:
+                for conv in list(hwm)[: len(hwm) - hwm_cap]:
+                    del hwm[conv]
             pdf = pdf.sort_values(["ts", "conv_id", "turn_idx", "sid"], kind="mergesort")
             ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64") / 1_000_000.0
             sid = pdf["sid"].to_numpy()
@@ -264,6 +278,7 @@ def build_stream(
     ruleset: RuleSet = CANONICAL,
     max_files_per_trigger: int = 1,
     state_ttl_minutes: int | None = None,
+    match_mode: str = "fused",
 ) -> DataFrame:
     """The streaming alert DataFrame (unstarted query)."""
     from ..packaging import ensure_shipped
@@ -274,7 +289,7 @@ def build_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
-    matched = match.run_match(stream, ruleset)
+    matched = match.run_match(stream, ruleset, mode=match_mode)
     enriched = enrich.attach_dims(
         matched,
         dimsmod.role_dim(spark),
@@ -344,6 +359,7 @@ def run_stream(
     max_files_per_trigger: int = 1,
     state_ttl_minutes: int | None = None,
     trigger_processing_time: str | None = None,
+    match_mode: str = "fused",
 ):
     """Start the streaming pipeline; per-sink fan-out via foreachBatch
     (each micro-batch appends to parquet per sink — the streaming twin of
@@ -356,7 +372,8 @@ def run_stream(
     settles under pending timers, so TTL deployments should monitor via
     listeners/output instead."""
     alerts = build_stream(
-        spark, input_dir, ruleset, max_files_per_trigger, state_ttl_minutes
+        spark, input_dir, ruleset, max_files_per_trigger, state_ttl_minutes,
+        match_mode=match_mode,
     )
     sinks = ruleset.sinks()
 

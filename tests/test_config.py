@@ -59,6 +59,20 @@ def test_dump_parse_round_trip():
     assert parse_config(dump_config(PipelineConfig())) == PipelineConfig()
 
 
+def test_comment_and_quote_edge_cases():
+    """YAML-compatible comment rule: '#' comments only at line start or
+    after whitespace and never inside double quotes; apostrophes are
+    ordinary characters."""
+    cfg = parse_config(
+        'input: /data/run#1       # fragment kept, comment dropped\n'
+        'output: "/data/x # y"    # quoted hash kept\n'
+    )
+    assert cfg.input == "/data/run#1"
+    assert cfg.output == "/data/x # y"
+    cfg = parse_config("input: bob's data\n")
+    assert cfg.input == "bob's data"
+
+
 @pytest.mark.parametrize(
     "bad",
     [

@@ -280,6 +280,21 @@ def test_dedup_chain_end_to_end(spark):
     assert survivors == want
 
 
+def test_dedup_survivors_custom_id_col(spark):
+    """clusters output always has (doc_id, cluster); id_col names the
+    corpus id column only — the chain must work on a vec_id corpus."""
+    corpus = spark.createDataFrame(
+        [(i, f"v{i}") for i in (1, 2, 3, 20, 21, 99)], "vec_id: long, payload: string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (20, 21)], "a: long, b: long")
+    clusters = D.dedup_clusters(pairs)
+    got = sorted(
+        r.vec_id
+        for r in D.dedup_survivors(corpus, clusters, id_col="vec_id").collect()
+    )
+    assert got == [1, 20, 99]
+
+
 def test_dedup_clusters_raises_on_nonconvergence(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a: long, b: long")
     import pytest

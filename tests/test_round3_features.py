@@ -120,9 +120,9 @@ def test_after_track_tool_differential(spark, tiny_path, tiny_pdf):
     assert n_tool > 0, "tool-tracked rule never fires"
     ora_role = run_oracle_counts(tiny_pdf, rs("by_username"))
     ora_conv = run_oracle_counts(tiny_pdf, rs("by_src"))
-    assert n_tool != ora_role or n_tool != ora_conv, (
-        "tool track indistinguishable from role and conv tracks — fixture "
-        "can't discriminate the key"
+    assert n_tool != ora_role and n_tool != ora_conv, (
+        "tool track indistinguishable from a sibling track key — fixture "
+        f"can't discriminate (tool={n_tool}, role={ora_role}, conv={ora_conv})"
     )
 
 
