@@ -350,6 +350,30 @@ def build_stream(
     return route.attach_rule_meta(correlated, ruleset)
 
 
+def make_batch_writer(out_dir: str, sinks: tuple[str, ...]):
+    """Per-sink fan-out for ``foreachBatch`` — EXACTLY-ONCE via idempotent
+    per-batch overwrite: foreachBatch re-executes a micro-batch after a
+    failure between the write and the checkpoint commit, so a plain
+    append would duplicate that batch's rows. Each (sink, batch) writes
+    to its own ``batch=<id>`` partition directory with mode=overwrite —
+    a replayed batch id rewrites the same directory instead of appending.
+    Readers see one parquet tree per sink (``batch`` surfaces as an int
+    partition column via standard partition discovery)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        for sink in sinks:
+            (
+                batch_df.filter(F.col("sink") == sink)
+                .sortWithinPartitions("conv_id", "turn_idx", "sid")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, sink, f"batch={batch_id}"))
+            )
+        batch_df.unpersist()
+
+    return write_batch
+
+
 def run_stream(
     spark: SparkSession,
     input_dir: str,
@@ -362,7 +386,8 @@ def run_stream(
     match_mode: str = "fused",
 ):
     """Start the streaming pipeline; per-sink fan-out via foreachBatch
-    (each micro-batch appends to parquet per sink — the streaming twin of
+    (idempotent per-batch parquet directories — exactly-once under
+    micro-batch replay, see make_batch_writer — the streaming twin of
     route.write_sinks). Returns the StreamingQuery.
 
     NOTE: with ``state_ttl_minutes`` set, Structured Streaming schedules
@@ -375,21 +400,8 @@ def run_stream(
         spark, input_dir, ruleset, max_files_per_trigger, state_ttl_minutes,
         match_mode=match_mode,
     )
-    sinks = ruleset.sinks()
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
-        for sink in sinks:
-            (
-                batch_df.filter(F.col("sink") == sink)
-                .sortWithinPartitions("conv_id", "turn_idx", "sid")
-                .write.mode("append")
-                .parquet(os.path.join(out_dir, sink))
-            )
-        batch_df.unpersist()
-
     writer = (
-        alerts.writeStream.foreachBatch(write_batch)
+        alerts.writeStream.foreachBatch(make_batch_writer(out_dir, ruleset.sinks()))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
