@@ -139,6 +139,7 @@ def main() -> None:
         "simhash_portable",
         "ann_brute_topk",
         "ann_lsh_topk",
+        "ann_lsh_index_topk",
         "quality_battery",
         "multimodal_features",
         "multimodal_frames",

@@ -338,7 +338,13 @@ def write_ivf_index(
 ) -> None:
     """Write the IVF index as parquet PARTITIONED by ``_cell`` (ncentroids
     directories): a query scans only its ``nprobe`` probed cells via
-    partition pruning — never the whole corpus."""
+    partition pruning — never the whole corpus. The centroids are written
+    alongside as ``_ivf_centroids.json`` (they are the index's lookup
+    metadata — an index whose centroids live only in the builder's memory
+    isn't loadable), so ``read_ivf_index`` restores a self-contained
+    (DataFrame, centroids) pair in a later session."""
+    import json
+
     (
         build_ivf_index(emb, cents, vec_col)
         .repartition("_cell")
@@ -346,6 +352,22 @@ def write_ivf_index(
         .mode("overwrite")
         .parquet(path)
     )
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump([[cid, vec] for cid, vec in cents], f)
+
+
+def read_ivf_index(spark, path: str):
+    """Load a written IVF index: (index DataFrame, centroids) — pass both
+    to ivf_index_topk. Sidecar files starting with '_' are ignored by
+    Spark's parquet reader, so the metadata rides inside the index dir."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        cents = [(int(cid), [float(x) for x in vec]) for cid, vec in json.load(f)]
+    return spark.read.parquet(path), cents
 
 
 def ivf_index_topk(

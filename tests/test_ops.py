@@ -211,8 +211,10 @@ def test_ivf_index_written_partition_pruning(spark, emb, tmp_path):
     cents = SIM.select_centroids(rest, 8)
     path = str(tmp_path / "ivf_idx")
     SIM.write_ivf_index(rest, path, cents)
-    idx = spark.read.parquet(path)
-    top = SIM.ivf_index_topk(idx, q, cents, k=10, nprobe=2)
+    # round-trip through the sidecar: a later session needs only the path
+    idx, cents_loaded = SIM.read_ivf_index(spark, path)
+    assert cents_loaded == [(c, [float(x) for x in v]) for c, v in cents]
+    top = SIM.ivf_index_topk(idx, q, cents_loaded, k=10, nprobe=2)
     plan = top._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -278,6 +280,30 @@ def test_dedup_chain_end_to_end(spark):
         {i for i, _ in rows} - {x for x, root in uf.items() if root != x}
     )
     assert survivors == want
+
+
+def test_dedup_clusters_random_graphs_property(spark):
+    """Property: on random edge lists the min-label propagation must equal
+    union-find exactly (components AND min-id labels). Hypothesis examples
+    are few because each runs a real iterative Spark job."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1])
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(edge, min_size=1, max_size=25))
+    def check(pairs):
+        norm = [(min(x, y), max(x, y)) for x, y in pairs]
+        df = spark.createDataFrame(norm, "a: long, b: long")
+        got = {r.doc_id: r.cluster for r in D.dedup_clusters(df, max_iters=40).collect()}
+        assert got == _union_find(norm)
+
+    check()
 
 
 def test_dedup_survivors_custom_id_col(spark):
