@@ -76,13 +76,16 @@ def _replay_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.DataF
     conv = pdf["conv_id"].to_numpy()
     turn = pdf["turn_idx"].to_numpy()
     sid = pdf["sid"].to_numpy()
+    tool = pdf["tool"].to_numpy()
     ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64") / 1_000_000.0
     stateful = np.isin(sid, np.fromiter(rules_by_sid.keys(), dtype=np.int64))
     fires = ~stateful  # stateless alerts pass through; stateful must earn it
     idxs = np.flatnonzero(stateful)
     m = len(idxs)
 
-    counters: dict[int, tuple[float, int]] = {}  # per current conv: sid -> (window_start, count)
+    # per current conv: sid (or (sid, tool) for track="conv_tool") ->
+    # (window_start, count)
+    counters: dict = {}
     bits: dict[str, tuple[float, float | None]] = {}  # bit -> (set_ts, expire)
     cur_conv: str | None = None
 
@@ -112,7 +115,11 @@ def _replay_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.DataF
                 continue
             emit = True
             if (rule.after or rule.threshold) is not None:
-                emit = counter_emit(rule, counters, rule.sid, t)
+                # by_both (track="conv_tool"): the counter key is the
+                # (sid, tool) pair WITHIN the conversation — the (src, dst)
+                # composite of [PUB src/after.c]'s by_both, transposed
+                key = (rule.sid, tool[k]) if rule.track == "conv_tool" else rule.sid
+                emit = counter_emit(rule, counters, key, t)
             for fb in rule.flexbits:
                 if fb.action in ("set", "unset"):
                     pending_sets.append(

@@ -244,12 +244,15 @@ def run_oracle(df: pd.DataFrame, ruleset: RuleSet) -> OracleResult:
             if rule.sid in tracked_sids:
                 emit = tracked_decisions[(i, rule.sid)]
             elif spec is not None:
-                ws, cnt = st.counters.get(rule.sid, (None, 0))
+                ckey = (
+                    (rule.sid, row["tool"]) if spec.track == "conv_tool" else rule.sid
+                )
+                ws, cnt = st.counters.get(ckey, (None, 0))
                 if ws is None or t > ws + spec.seconds:
                     ws, cnt = t, 1
                 else:
                     cnt += 1
-                st.counters[rule.sid] = (ws, cnt)
+                st.counters[ckey] = (ws, cnt)
                 if rule.after is not None:
                     emit = cnt > rule.after.count
                 elif rule.threshold.type in ("limit", "suppress"):

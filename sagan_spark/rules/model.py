@@ -182,12 +182,14 @@ class AfterSpec:
     (window_start, count). On event at t: if t > window_start + S →
     window_start=t, count=1; else count+=1. Alert iff count > C.
 
-    track keys (payload transposition of Sagan's by_src/by_dst/by_username):
-    "conv_id" (per-conversation, replayed in turn order), "role" and "tool"
-    (GLOBAL per track value across conversations, replayed in event-time
-    order — see engine/correlate)."""
+    track keys (payload transposition of Sagan's by_src/by_dst/by_both/
+    by_username): "conv_id" (per-conversation, replayed in turn order),
+    "conv_tool" (by_both — the (source, destination) composite: counters
+    keyed per (conversation, tool) pair, replayed inside the conversation's
+    turn order), "role" and "tool" (GLOBAL per track value across
+    conversations, replayed in event-time order — see engine/correlate)."""
 
-    track: str  # "conv_id" | "role" | "tool"
+    track: str  # "conv_id" | "conv_tool" | "role" | "tool"
     count: int
     seconds: int
 
@@ -314,10 +316,10 @@ class RuleSet:
                     raise ValueError(f"sid {r.sid}: token position must be >= 1")
             spec = r.after or r.threshold
             if spec is not None:
-                if spec.track not in ("conv_id", "role", "tool"):
+                if spec.track not in ("conv_id", "conv_tool", "role", "tool"):
                     raise ValueError(
                         f"sid {r.sid}: unsupported track {spec.track!r} "
-                        "(conv_id, role and tool are implemented)"
+                        "(conv_id, conv_tool, role and tool are implemented)"
                     )
                 if spec.track != "conv_id" and r.flexbits:
                     raise ValueError(

@@ -19,7 +19,8 @@ Grammar (the Sagan dialect subset our engine supports):
 Mapping notes (payload transposition, BASELINE.json:6): ``program`` →
 role prefilter, ``facility`` → tool prefilter, ``track by_src`` →
 conv_id, ``track by_dst`` → tool (the destination analogue: which tool the
-turn targeted), ``track by_both`` → conv_id, ``track by_username`` → role. Content modifiers (nocase/offset/
+turn targeted), ``track by_both`` → the (conv_id, tool) composite,
+``track by_username`` → role. Content modifiers (nocase/offset/
 depth/distance/within) attach to the most recent content, as in Snort.
 Lines starting with '#' and blank lines are skipped.
 """
@@ -58,7 +59,7 @@ _TOKEN_KW = {
 }
 
 _HEADER = re.compile(r"^\s*alert\s+\S+\s+\S+\s*->\s*\S+\s+\S+\s*\((.*)\)\s*$", re.DOTALL)
-_TRACK = {"by_src": "conv_id", "by_dst": "tool", "by_both": "conv_id", "by_username": "role"}
+_TRACK = {"by_src": "conv_id", "by_dst": "tool", "by_both": "conv_tool", "by_username": "role"}
 
 
 def _split_options(body: str) -> list[str]:

@@ -78,6 +78,7 @@ def _replay_batch_incremental(
     pdf = pdf.sort_values(["turn_idx", "sid"], kind="mergesort")
     turn = pdf["turn_idx"].to_numpy()
     sid = pdf["sid"].to_numpy()
+    tool = pdf["tool"].to_numpy()
     ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64") / 1_000_000.0
     emit_rows: list = []
     n = len(pdf)
@@ -101,7 +102,14 @@ def _replay_batch_incremental(
                 continue
             emit = True
             if (rule.after or rule.threshold) is not None:
-                emit = counter_emit(rule, counters, str(rule.sid), t)
+                # state-blob keys are JSON strings; repr() of the tool
+                # keeps None distinct from the string 'None'
+                key = (
+                    f"{rule.sid}|{tool[k]!r}"
+                    if rule.track == "conv_tool"
+                    else str(rule.sid)
+                )
+                emit = counter_emit(rule, counters, key, t)
             for fb in rule.flexbits:
                 if fb.action in ("set", "unset"):
                     pending_sets.append(

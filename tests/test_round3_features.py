@@ -132,6 +132,99 @@ def run_oracle_counts(pdf, ruleset) -> int:
     return sum(run_oracle(pdf, ruleset).sid_counts.values())
 
 
+def test_after_track_by_both_differential(spark, tiny_path, tiny_pdf):
+    """by_both → the (conv_id, tool) composite key: counters per
+    (conversation, tool) pair. Engine ≡ oracle, and the emission count
+    differs from BOTH by_src (pure conv) and by_dst (global tool) at the
+    same parameters — the composite is its own semantics, not an alias."""
+    from sagan_spark.rules.parser import parse_rule
+
+    def rs(track_kw):
+        return RuleSet(
+            (
+                parse_rule(
+                    f'alert any any -> any any (msg:"retry pair"; sid:4100006; '
+                    f'content:"retry"; after:track {track_kw}, count 1, seconds 3600; '
+                    "sink:fast;)"
+                ),
+            )
+        )
+
+    assert rs("by_both").rules[0].track == "conv_tool"
+    ora_both = _diff(spark, tiny_path, tiny_pdf, rs("by_both"))
+    n_both = ora_both.sid_counts.get(4100006, 0)
+    assert n_both > 0, "by_both rule never fires"
+    n_conv = run_oracle_counts(tiny_pdf, rs("by_src"))
+    n_tool = run_oracle_counts(tiny_pdf, rs("by_dst"))
+    assert n_both != n_conv and n_both != n_tool, (
+        f"by_both indistinguishable (both={n_both}, conv={n_conv}, tool={n_tool})"
+    )
+
+
+def test_streaming_by_both_equals_batch(spark, tmp_path):
+    """conv_tool streaming counters carry across micro-batches and equal
+    the batch engine: the 2nd bash turn of convA emits, its python turn
+    does not (fresh (conv, tool) pair), and convB's bash does not (fresh
+    conversation — unlike a global tool track)."""
+    from sagan_spark.engine import pipeline as batch_pipeline
+    from sagan_spark.rules.parser import parse_rule
+
+    rs = RuleSet(
+        (
+            parse_rule(
+                'alert any any -> any any (msg:"pair retry"; sid:4100007; '
+                'content:"retry"; after:track by_both, count 1, seconds 900; '
+                "sink:fast;)"
+            ),
+        )
+    )
+    in_dir, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    os.makedirs(in_dir)
+
+    def _write_tools(rows, path):  # (conv, turn, offset_s, tool)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sagan_spark.datagen.transcripts import SCHEMA
+
+        pdf = pd.DataFrame(
+            {
+                "conv_id": [r[0] for r in rows],
+                "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+                "role": ["user"] * len(rows),
+                "text": [RETRY_TXT] * len(rows),
+                "tool": [r[3] for r in rows],
+                "ts": pd.Series(
+                    [_TS0 + pd.Timedelta(seconds=r[2]) for r in rows]
+                ).astype("datetime64[us]"),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, schema=SCHEMA, preserve_index=False), path)
+
+    q = stream_pipeline.run_stream(spark, in_dir, out, ck, ruleset=rs, max_files_per_trigger=1)
+    try:
+        _write_tools(
+            [("convA", 0, 0, "bash")], os.path.join(in_dir, "f1.parquet")
+        )
+        q.processAllAvailable()
+        # the (convA, bash) counter must survive the batch boundary
+        _write_tools(
+            [("convA", 1, 10, "bash"), ("convA", 2, 20, "python"), ("convB", 0, 30, "bash")],
+            os.path.join(in_dir, "f2.parquet"),
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(_fired(spark, out, 4100007))
+    ref = batch_pipeline.run(spark, in_dir, rs)
+    want = sorted(
+        (r.conv_id, r.turn_idx)
+        for r in ref.alerts.select("conv_id", "turn_idx").collect()
+    )
+    ref.unpersist()
+    assert got == want == [("convA", 1)], (got, want)
+
+
 def test_threshold_track_tool_differential(spark, tiny_path, tiny_pdf):
     from sagan_spark.rules.model import ThresholdSpec
 
