@@ -34,7 +34,16 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "32768",
+    # Arrow batch size for the mapInPandas crossings — WORKLOAD-DEPENDENT
+    # (swept both ways, see BENCH/TUNING.md): on the wide production
+    # profile (~1% of rows cross to Python) 131072 wins ~10% (fewer
+    # worker round trips); on the dense profile (~57% of rows cross)
+    # 131072 LOSES 2x (10.6s vs 4.9s — pandas working sets blow the
+    # cache). 32768 is the safe default; raise via env only for
+    # low-selectivity rule sets.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
+        "SPARK_GRAFT_ARROW_BATCH", "32768"
+    ),
     "spark.sql.session.timeZone": "UTC",
     # parquet scans: keep split sizes sane for local runs; on a cluster the
     # default 128m is right for 100TB scans.
