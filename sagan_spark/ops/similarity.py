@@ -352,10 +352,11 @@ def write_ivf_index(
         .mode("overwrite")
         .parquet(path)
     )
-    import os
-
-    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
-        json.dump([[cid, vec] for cid, vec in cents], f)
+    _fs_write_text(
+        emb.sparkSession,
+        path.rstrip("/") + "/_ivf_centroids.json",
+        json.dumps([[cid, vec] for cid, vec in cents]),
+    )
 
 
 def read_ivf_index(spark, path: str):
@@ -363,11 +364,41 @@ def read_ivf_index(spark, path: str):
     to ivf_index_topk. Sidecar files starting with '_' are ignored by
     Spark's parquet reader, so the metadata rides inside the index dir."""
     import json
-    import os
 
-    with open(os.path.join(path, "_ivf_centroids.json")) as f:
-        cents = [(int(cid), [float(x) for x in vec]) for cid, vec in json.load(f)]
+    cents = [
+        (int(cid), [float(x) for x in vec])
+        for cid, vec in json.loads(
+            _fs_read_text(spark, path.rstrip("/") + "/_ivf_centroids.json")
+        )
+    ]
     return spark.read.parquet(path), cents
+
+
+def _fs_write_text(spark, path: str, content: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API — a local
+    ``open()`` cannot create ``s3a://``/``hdfs://`` paths, and the index
+    must stay self-contained wherever its parquet half lives. Atomic:
+    write a temp name, then rename over the target (a crash between the
+    parquet write and this leaves no half-written sidecar)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(content.encode("utf-8")))
+    out.close()
+    fs.delete(hpath, False)
+    fs.rename(tmp, hpath)
+
+
+def _fs_read_text(spark, path: str) -> str:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return bytes(baos.toByteArray()).decode("utf-8")
 
 
 def ivf_index_topk(

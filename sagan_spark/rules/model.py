@@ -286,10 +286,13 @@ class RuleSet:
     """Validated rule collection.
 
     Construction-time checks (loud failure beats silent wrong answers):
-    - after/threshold track must be "conv_id", "role", or "tool";
-      role/tool-tracked counters are GLOBAL per track value (replayed in
-      ts order across conversations — see engine/correlate.run_correlate),
-      so a non-conv-tracked rule may not also use flexbits (per-conv state).
+    - after/threshold track must be "conv_id", "conv_tool", "role", or
+      "tool". role/tool-tracked counters are GLOBAL per track value
+      (replayed in ts order across conversations on a separate branch —
+      see engine/correlate.run_correlate), so THOSE rules may not also use
+      flexbits: bits are per-conversation state maintained only by the
+      conversation-keyed replay. conv_id and conv_tool rules both run on
+      that conv-keyed replay, so they may carry flexbits.
     - depends_on may not reference a noalert sid in the same set: dynamic
       enablement is derived from *emitted* alerts, and a state-only parent
       never emits ([PUB src/processors/dynamic-rules.c] reads the output
@@ -321,10 +324,12 @@ class RuleSet:
                         f"sid {r.sid}: unsupported track {spec.track!r} "
                         "(conv_id, conv_tool, role and tool are implemented)"
                     )
-                if spec.track != "conv_id" and r.flexbits:
+                if spec.track in ("role", "tool") and r.flexbits:
                     raise ValueError(
                         f"sid {r.sid}: {spec.track}-tracked after/threshold "
-                        "cannot be combined with flexbits (per-conv state)"
+                        "cannot be combined with flexbits — bits are "
+                        "per-conversation state, maintained only by the "
+                        "conversation-keyed replay"
                     )
             if r.depends_on is not None:
                 parent = by_sid.get(r.depends_on)

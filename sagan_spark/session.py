@@ -15,40 +15,43 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_CONF: dict[str, str] = {
-    # local mode runs everything in the driver JVM. Empirically (see
-    # BENCH/BASELINE.md notes) a SMALL heap is faster for this string-heavy
-    # workload: persisted blocks spill to compressed lz4 disk blocks instead
-    # of occupying DRAM, and G1 young collections stay short. Measured at
-    # local[32], 6.4M turns, wide rule set: 2g→39s, 6g→56s, 48g→177s.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "2g"),
-    # Throughput GC: G1's concurrent threads contend with 32 busy worker
-    # threads on this box — ParallelGC measured 33% faster on the match
-    # stage at local[32] (9.85s vs 14.6s, 6.8M turns) AND lifts 8→32
-    # scaling efficiency from 0.55 to 0.69 (≈ the pure-compute ceiling).
-    # On a real cluster executors get this via spark.executor.extraJavaOptions.
-    "spark.driver.extraJavaOptions": os.environ.get(
-        "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"
-    ),
-    "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Arrow batch size for the mapInPandas crossings — WORKLOAD-DEPENDENT
-    # (swept both ways, see BENCH/TUNING.md): on the wide production
-    # profile (~1% of rows cross to Python) 131072 wins ~10% (fewer
-    # worker round trips); on the dense profile (~57% of rows cross)
-    # 131072 LOSES 2x (10.6s vs 4.9s — pandas working sets blow the
-    # cache). 32768 is the safe default; raise via env only for
-    # low-selectivity rule sets.
-    "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
-        "SPARK_GRAFT_ARROW_BATCH", "32768"
-    ),
-    "spark.sql.session.timeZone": "UTC",
-    # parquet scans: keep split sizes sane for local runs; on a cluster the
-    # default 128m is right for 100TB scans.
-    "spark.sql.files.maxPartitionBytes": "134217728",
-}
+def default_conf() -> dict[str, str]:
+    """Engine conf, built PER CALL so the SPARK_GRAFT_* env knobs are
+    read at session-creation time, not frozen at module import."""
+    return {
+        # local mode runs everything in the driver JVM. Empirically (see
+        # BENCH/BASELINE.md notes) a SMALL heap is faster for this string-heavy
+        # workload: persisted blocks spill to compressed lz4 disk blocks instead
+        # of occupying DRAM, and G1 young collections stay short. Measured at
+        # local[32], 6.4M turns, wide rule set: 2g→39s, 6g→56s, 48g→177s.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "2g"),
+        # Throughput GC: G1's concurrent threads contend with 32 busy worker
+        # threads on this box — ParallelGC measured 33% faster on the match
+        # stage at local[32] (9.85s vs 14.6s, 6.8M turns) AND lifts 8→32
+        # scaling efficiency from 0.55 to 0.69 (≈ the pure-compute ceiling).
+        # On a real cluster executors get this via spark.executor.extraJavaOptions.
+        "spark.driver.extraJavaOptions": os.environ.get(
+            "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"
+        ),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Arrow batch size for the mapInPandas crossings — WORKLOAD-DEPENDENT
+        # (swept both ways, see BENCH/TUNING.md): on the wide production
+        # profile (~1% of rows cross to Python) 131072 wins ~10% (fewer
+        # worker round trips); on the dense profile (~57% of rows cross)
+        # 131072 LOSES 2x (10.6s vs 4.9s — pandas working sets blow the
+        # cache). 32768 is the safe default; raise via env only for
+        # low-selectivity rule sets.
+        "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
+            "SPARK_GRAFT_ARROW_BATCH", "32768"
+        ),
+        "spark.sql.session.timeZone": "UTC",
+        # parquet scans: keep split sizes sane for local runs; on a cluster the
+        # default 128m is right for 100TB scans.
+        "spark.sql.files.maxPartitionBytes": "134217728",
+    }
 
 
 def get_spark(
@@ -67,7 +70,7 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
-    conf = dict(DEFAULT_CONF)
+    conf = default_conf()
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     else:

@@ -366,18 +366,53 @@ def make_batch_writer(out_dir: str, sinks: tuple[str, ...]):
     to its own ``batch=<id>`` partition directory with mode=overwrite —
     a replayed batch id rewrites the same directory instead of appending.
     Readers see one parquet tree per sink (``batch`` surfaces as an int
-    partition column via standard partition discovery)."""
+    partition column via standard partition discovery).
+
+    Empty batches write NOTHING (a quiet stream must not accumulate one
+    directory per (sink, trigger) forever); the skip is deterministic on
+    replay — the same input batch yields the same per-sink counts — so
+    idempotence holds. Sinks written by the pre-``batch=`` flat-append
+    layout are detected and refused with a migration message: mixing the
+    two layouts breaks partition discovery for every reader."""
+    legacy_checked: set[str] = set()
+
+    def _check_legacy(sink: str) -> None:
+        if sink in legacy_checked:
+            return
+        legacy_checked.add(sink)
+        sink_dir = os.path.join(out_dir, sink)
+        try:
+            entries = os.listdir(sink_dir)
+        except OSError:  # absent, or a non-local FS path — nothing to check
+            return
+        if any(e.startswith("part-") for e in entries):
+            raise RuntimeError(
+                f"sink directory {sink_dir} contains flat part-* files from "
+                "the pre-batch=<id> append layout; move them aside (e.g. "
+                "into a batch=-1/ subdirectory) before resuming — mixed "
+                "layouts break parquet partition discovery"
+            )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
-        for sink in sinks:
-            (
-                batch_df.filter(F.col("sink") == sink)
-                .sortWithinPartitions("conv_id", "turn_idx", "sid")
-                .write.mode("overwrite")
-                .parquet(os.path.join(out_dir, sink, f"batch={batch_id}"))
-            )
-        batch_df.unpersist()
+        try:
+            # one job decides which sinks this batch touches
+            counts = {
+                r["sink"]: r["n"]
+                for r in batch_df.groupBy("sink").agg(F.count("*").alias("n")).collect()
+            }
+            for sink in sinks:
+                if not counts.get(sink):
+                    continue
+                _check_legacy(sink)
+                (
+                    batch_df.filter(F.col("sink") == sink)
+                    .sortWithinPartitions("conv_id", "turn_idx", "sid")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(out_dir, sink, f"batch={batch_id}"))
+                )
+        finally:
+            batch_df.unpersist()
 
     return write_batch
 

@@ -333,6 +333,53 @@ def test_streaming_tool_track_ordered_equals_batch(spark, tmp_path):
     assert got == want == [("convB", 1)], (got, want)
 
 
+def test_by_both_with_flexbits_allowed():
+    """conv_tool rules run on the conversation-keyed replay, which fully
+    supports flexbits — the combination must construct (only the GLOBAL
+    role/tool tracks reject bits)."""
+    from sagan_spark.rules.model import FlexbitSpec
+
+    RuleSet(
+        (
+            Rule(
+                sid=4100008,
+                msg="pair counter + bit",
+                sink="fast",
+                contents=(ContentSpec("retry",),),
+                after=AfterSpec(track="conv_tool", count=1, seconds=600),
+                flexbits=(FlexbitSpec("set", "pair_bit", expire=900),),
+            ),
+        )
+    )
+
+
+def test_batch_writer_skips_empty_and_refuses_legacy(spark, tmp_path):
+    """A batch with zero rows for a sink writes nothing (a quiet stream
+    must not grow one directory per trigger), and a sink dir holding the
+    old flat-append part-* files is refused with a migration message."""
+    from sagan_spark.streaming.pipeline import make_batch_writer
+
+    out = str(tmp_path / "out")
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp_ntz, sid long, sink string"
+    )
+    empty = spark.createDataFrame([], schema)
+    w = make_batch_writer(out, ("fast", "eve"))
+    w(empty, 0)
+    assert not os.path.exists(os.path.join(out, "fast"))
+    # legacy flat layout → loud refusal
+    legacy = str(tmp_path / "legacy")
+    rows = [("convA", 0, "user", "t", "none", _TS0.to_pydatetime(), 1, "fast")]
+    df = spark.createDataFrame(rows, schema)
+    os.makedirs(os.path.join(legacy, "fast"))
+    open(os.path.join(legacy, "fast", "part-00000.parquet"), "wb").write(b"x")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="flat part-"):
+        make_batch_writer(legacy, ("fast",))(df, 0)
+
+
 def test_batch_writer_replay_is_idempotent(spark, tmp_path):
     """foreachBatch re-executes a micro-batch when a failure lands between
     the sink write and the checkpoint commit; the writer must therefore be
