@@ -85,7 +85,7 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     def run(name: str, fn, repeats: int = 1) -> None:
-        # headline pipelines take min-of-2: this VM shows sporadic
+        # headline pipelines take min-of-3: this VM shows sporadic
         # multi-second kernel-side stalls (see BENCH/BASELINE.md notes),
         # and the headline turns/sec should reflect the engine, not the
         # noise window the driver happened to land in
@@ -103,7 +103,7 @@ def main() -> None:
         extras["pipeline_alerts"] = sum(res.sink_counts.values())
         res.unpersist()
 
-    run("pipeline", _pipeline, repeats=2)
+    run("pipeline", _pipeline, repeats=3)
     if "pipeline" in timings:
         extras["pipeline_turns_per_sec"] = round(tx_rows / timings["pipeline"], 1)
         extras["pipeline_turns"] = tx_rows
@@ -120,7 +120,7 @@ def main() -> None:
         extras["pipeline_wide_alerts"] = sum(res.sink_counts.values())
         res.unpersist()
 
-    run("pipeline_wide", _pipeline_wide, repeats=2)
+    run("pipeline_wide", _pipeline_wide, repeats=3)
     if "pipeline_wide" in timings:
         extras["pipeline_wide_turns_per_sec"] = round(tx_rows / timings["pipeline_wide"], 1)
         extras["pipeline_turns"] = tx_rows
@@ -159,6 +159,21 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             walls.append(time.time() - t0)
         timings[name] = round(min(walls), 3)
+
+    def _dedup_clusters() -> None:
+        # full chain pairs→components→survivor count on the documents table
+        # (not a queries() entry — iterative driver loop, pytest-oracled)
+        from pyspark.sql import functions as F
+
+        from sagan_spark.ops import dedup as D
+
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        sig = D.minhash_signature(D.shingles(d), num_hashes=8)
+        pairs = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+        survivors = D.dedup_survivors(d, D.dedup_clusters(pairs))
+        extras["dedup_survivors"] = survivors.count()
+
+    run("dedup_clusters", _dedup_clusters, repeats=3)
 
     total = round(sum(timings.values()), 3)
     out = {
