@@ -173,17 +173,44 @@ def dump_config(cfg: PipelineConfig) -> str:
             return "null"
         if isinstance(v, bool):
             return "true" if v else "false"
-        return str(v)
+        s = str(v)
+        # quote strings the bare-scalar grammar would mangle: a leading
+        # '#' (whole-line comment), a ' #' (trailing comment), wrapping
+        # quotes (stripped by _scalar), surrounding whitespace, or text
+        # that parses as a number/bool/null
+        needs_quote = isinstance(v, str) and (
+            s.startswith(("#", '"', "'"))
+            or " #" in s
+            or s != s.strip()
+            or s in ("null", "~", "true", "True", "false", "False")
+            or _looks_numeric(s)
+        )
+        if needs_quote:
+            if '"' in s:
+                raise ValueError(
+                    f"cannot dump value containing a double quote: {s!r} "
+                    "(the supported subset has no escape syntax)"
+                )
+            return f'"{s}"'
+        return s
 
     lines = [f"{k}: {fmt(getattr(cfg, k))}" for k in ("input", "output", "mode")]
     if cfg.rules:
         lines.append("rules:")
-        lines += [f"  - {p}" for p in cfg.rules]
+        lines += [f"  - {fmt(p)}" for p in cfg.rules]
     lines.append("engine:")
     for f_ in fields(cfg):
         if f_.name in _ENGINE_KEYS:
             lines.append(f"  {f_.name}: {fmt(getattr(cfg, f_.name))}")
     return "\n".join(lines) + "\n"
+
+
+def _looks_numeric(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
 
 
 def load_ruleset(cfg: PipelineConfig):

@@ -88,6 +88,44 @@ def test_bad_config_fails_loudly(bad):
         parse_config(bad)
 
 
+def test_round_trip_property():
+    """Property: any valid PipelineConfig survives dump→parse unchanged
+    (random field combinations — catches scalar-coercion and comment-rule
+    edge cases the fixed examples miss)."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    path = st.text(
+        alphabet=st.characters(whitelist_categories=("L", "N"), whitelist_characters="/._-#'"),
+        min_size=1,
+        max_size=30,
+    ).filter(lambda s: s.strip() == s and not s.isdigit())
+
+    @given(
+        st.builds(
+            PipelineConfig,
+            input=st.one_of(st.none(), path),
+            output=st.one_of(st.none(), path),
+            mode=st.sampled_from(["batch", "resumable", "stream", "dynamic"]),
+            rules=st.lists(path, max_size=3).map(tuple),
+            match_mode=st.sampled_from(["fused", "hybrid", "udf"]),
+            fold_dims=st.booleans(),
+            shuffle_partitions=st.one_of(st.none(), st.integers(1, 10000)),
+            master=st.one_of(st.none(), st.just("local[8]")),
+            state_ttl_minutes=st.one_of(st.none(), st.integers(1, 100)),
+            max_files_per_trigger=st.integers(1, 10),
+        )
+    )
+    def check(cfg):
+        assert parse_config(dump_config(cfg)) == cfg
+
+    check()
+    # adversarial fixed cases the random alphabet may not hit every run
+    for v in ("#leading-hash", "'quoted'", "123", "true", "null", "x #y"):
+        cfg = PipelineConfig(input=v, rules=(v, "plain.rules"))
+        assert parse_config(dump_config(cfg)) == cfg, v
+
+
 def test_load_ruleset_merges_files(tmp_path):
     r1 = tmp_path / "a.rules"
     r1.write_text(
