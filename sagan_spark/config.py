@@ -92,6 +92,16 @@ def _scalar(v: str):
     return v
 
 
+def _raw_str(v: str) -> str:
+    """Rules entries are always paths: strip surrounding quotes only, never
+    coerce through the scalar grammar (``- 0123`` must stay '0123', not
+    become int 123 → '123')."""
+    v = v.strip()
+    if len(v) >= 2 and (v[0] == v[-1] == '"' or v[0] == v[-1] == "'"):
+        return v[1:-1]
+    return v
+
+
 def _strip_comment(line: str) -> str:
     """Drop a trailing comment. YAML-compatible rule: ``#`` starts a
     comment only at line start or when preceded by whitespace (so
@@ -143,7 +153,7 @@ def parse_config(text: str) -> PipelineConfig:
         elif section == "rules":
             if not body.startswith("- "):
                 raise ValueError(f"line {lineno}: rules entries must be '- path'")
-            rules.append(str(_scalar(body[2:])))
+            rules.append(_raw_str(body[2:]))
         elif section == "engine":
             if ":" not in body:
                 raise ValueError(f"line {lineno}: expected 'key: value', got {body!r}")

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
 import time
 import uuid
 from dataclasses import dataclass
@@ -31,6 +30,7 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsutil
 from ..rules.canonical import CANONICAL
 from ..rules.model import RuleSet
 from . import pipeline as pl
@@ -38,28 +38,28 @@ from . import route
 
 MANIFEST = "_manifest.json"
 
+# All manifest/unit IO goes through the Hadoop FileSystem API (fsutil):
+# the resume story must hold wherever the sink tree lives — file://,
+# hdfs://, s3a:// — not only on a POSIX filesystem the driver can open().
+# fs_write_text is atomic (temp+rename), preserving the crash-safe
+# "manifest updated after each completed unit" contract.
 
-def _atomic_write(path: str, obj: dict) -> None:
-    tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, indent=1, sort_keys=True)
-    os.replace(tmp, path)
+
+def _atomic_write(spark: SparkSession, path: str, obj: dict) -> None:
+    fsutil.fs_write_text(spark, path, json.dumps(obj, indent=1, sort_keys=True))
 
 
-def _load_manifest(out_dir: str) -> dict:
-    p = os.path.join(out_dir, MANIFEST)
-    if os.path.exists(p):
-        with open(p) as f:
-            return json.load(f)
+def _load_manifest(spark: SparkSession, out_dir: str) -> dict:
+    p = out_dir.rstrip("/") + "/" + MANIFEST
+    if fsutil.fs_exists(spark, p):
+        return json.loads(fsutil.fs_read_text(spark, p))
     return {"run_id": uuid.uuid4().hex, "units": {}}
 
 
-def list_units(input_path: str, files_per_unit: int = 1) -> list[list[str]]:
-    files = sorted(
-        os.path.join(input_path, f)
-        for f in os.listdir(input_path)
-        if f.endswith(".parquet")
-    )
+def list_units(
+    spark: SparkSession, input_path: str, files_per_unit: int = 1
+) -> list[list[str]]:
+    files = fsutil.fs_list_files(spark, input_path, suffix=".parquet")
     return [files[i : i + files_per_unit] for i in range(0, len(files), files_per_unit)]
 
 
@@ -113,8 +113,8 @@ def run_resumable(
     ``out_dir/sinks/<sink>/unit=<uid>`` and update the manifest after each
     unit. ``max_units`` bounds work this call (used to simulate failures
     in tests and to run in windowed increments operationally)."""
-    os.makedirs(out_dir, exist_ok=True)
-    manifest = _load_manifest(out_dir)
+    fsutil.fs_mkdirs(spark, out_dir)
+    manifest = _load_manifest(spark, out_dir)
     manifest.setdefault("input_path", input_path)
     # resume is only valid for the same rule set: completed units were
     # routed under the old rules, so a silent skip would mix semantics
@@ -125,7 +125,7 @@ def run_resumable(
             f"manifest at {out_dir} was written with a different rule set "
             f"({prev} != {rs_fp}); use a fresh out_dir or delete the manifest"
         )
-    units = list_units(input_path, files_per_unit)
+    units = list_units(spark, input_path, files_per_unit)
 
     processed = skipped = 0
     for idx, files in enumerate(units):
@@ -148,7 +148,7 @@ def run_resumable(
                 alerts.where(F.col("sink") == sink)
                 .sortWithinPartitions("conv_id", "turn_idx", "sid")
                 .write.mode("overwrite")
-                .parquet(os.path.join(out_dir, "sinks", sink, f"unit={uid}"))
+                .parquet(f"{out_dir.rstrip('/')}/sinks/{sink}/unit={uid}")
             )
         alerts.unpersist()
         manifest["units"][uid] = {
@@ -159,6 +159,6 @@ def run_resumable(
             "per_sid": per_sid,
             "wall_s": round(time.time() - t0, 3),
         }
-        _atomic_write(os.path.join(out_dir, MANIFEST), manifest)
+        _atomic_write(spark, out_dir.rstrip("/") + "/" + MANIFEST, manifest)
         processed += 1
     return ResumableResult(manifest=manifest, processed_units=processed, skipped_units=skipped)

@@ -184,9 +184,12 @@ def run_correlate(alerts: DataFrame, ruleset: RuleSet, scope: str = "all") -> Da
     Non-conv tracked rules (Sagan `by_username` → role, `by_dst` → tool)
     take a SEPARATE branch per track column: their rows repartition by the
     track column and replay in (ts, conv_id, turn_idx) order with counters
-    global per (track value, sid). Partition count equals track-key
-    cardinality (4 roles / a handful of tools here; usernames in a real
-    corpus) — inherent to the semantics, not a plan defect. These branches
+    global per (track value, sid). ``repartition(col)`` hash-partitions
+    keys into spark.sql.shuffle.partitions tasks, so effective parallelism
+    is min(cardinality, shuffle partitions): a 4-value role track caps at
+    4 busy tasks (inherent to global-per-key semantics, not a plan
+    defect); a username-cardinality track fills every partition —
+    exercised at 10^4 keys in tests/test_track_cardinality.py. These branches
     make the plan dual-consumer, so callers should persist the upstream
     (pipeline.build_alerts does this automatically).
     """

@@ -42,25 +42,46 @@ def rule_dim(spark: SparkSession, ruleset: RuleSet) -> DataFrame:
     )
 
 
-def attach_rule_meta(alerts: DataFrame, ruleset: RuleSet) -> DataFrame:
+# Above this rule count attach_rule_meta switches from literal maps to a
+# broadcast join: five create_map literals × N rules embed ~10N entries in
+# the plan, and past a few hundred rules plan construction/codegen cost
+# grows with N on EVERY query while the broadcast join's cost stays flat
+# (measured at 57 vs 1,044 rules — see BENCH/TUNING.md "rule-meta switch").
+LITERAL_MAP_MAX_RULES = 500
+
+
+def attach_rule_meta(
+    alerts: DataFrame,
+    ruleset: RuleSet,
+    max_literal_rules: int = LITERAL_MAP_MAX_RULES,
+) -> DataFrame:
     """Attach rule metadata and drop noalert (state-only) rows.
 
-    The rule dim is a compile-time constant, so instead of a broadcast
-    join we fold it into literal-map lookups (`element_at(create_map)`)
-    — O(1) per row inside whole-stage codegen, zero exchange. The
-    join-based variant (`rule_dim` above) remains for external rule
-    catalogs that aren't compile-time constants.
-    """
+    The rule dim is a compile-time constant, so for ordinary rule-set
+    sizes we fold it into literal-map lookups (`element_at(create_map)`)
+    — O(1) per row inside whole-stage codegen, zero exchange. Past
+    ``max_literal_rules`` rules the embedded-literal plan itself becomes
+    the cost (Sagan-realistic catalogs run thousands of rules), so large
+    rule sets take a broadcast hash join against `rule_dim` instead —
+    still no shuffle of the fact side, one tiny broadcast. Both paths
+    yield identical rows AND column order (equality-tested)."""
     noalert_sids = [r.sid for r in ruleset.rules if r.noalert]
     out = alerts
     if noalert_sids:
         out = out.filter(~F.col("sid").isin(noalert_sids))
+    live = [r for r in ruleset.rules if not r.noalert]
+
+    if len(live) > max_literal_rules:
+        dim = rule_dim(alerts.sparkSession, ruleset).drop("noalert")
+        joined = out.join(F.broadcast(dim), "sid", "left")
+        # restore the literal path's column order (join moves sid first)
+        return joined.select(
+            *out.columns, "rev", "msg", "rule_class", "priority", "sink"
+        )
 
     def lit_map(fn) -> F.Column:
         entries: list[F.Column] = []
-        for r in ruleset.rules:
-            if r.noalert:
-                continue
+        for r in live:
             entries += [F.lit(r.sid), F.lit(fn(r))]
         return F.element_at(F.create_map(*entries), F.col("sid"))
 
@@ -184,8 +205,15 @@ def unified2_record() -> F.Column:
 def write_unified2_binary(alerts: DataFrame, out_dir: str) -> None:
     """Write the unified2 sink as length-prefixed binary record files, one
     file per conv_id-hash partition (Sagan spools unified2 to local files
-    the same way; on a cluster, point out_dir at shared storage)."""
-    os.makedirs(out_dir, exist_ok=True)
+    the same way; on a cluster, point out_dir at shared storage).
+
+    The per-partition write runs on EXECUTORS, where there is no JVM
+    gateway for the Hadoop FileSystem API — portability comes from
+    ``pyarrow.fs`` instead: ``file://`` and bare paths via
+    LocalFileSystem, ``s3://`` via pyarrow's bundled S3 support (same
+    library the Arrow parquet path already ships). ``hdfs://`` requires
+    libhdfs on the executors — absent that, stage to s3/shared-file and
+    distcp."""
     recs = (
         alerts.filter(F.col("sink") == "unified2")
         .repartition("conv_id")
@@ -194,12 +222,18 @@ def write_unified2_binary(alerts: DataFrame, out_dir: str) -> None:
     )
 
     def dump(rows) -> None:
+        import pyarrow.fs as pafs
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         buf = b"".join(r.rec for r in rows)
         if buf:
-            with open(os.path.join(out_dir, f"part-{pid:05d}.u2"), "wb") as f:
+            if "://" in out_dir or out_dir.startswith("file:/"):
+                fs, base = pafs.FileSystem.from_uri(out_dir)
+            else:
+                fs, base = pafs.LocalFileSystem(), out_dir
+            fs.create_dir(base, recursive=True)  # idempotent across tasks
+            with fs.open_output_stream(f"{base.rstrip('/')}/part-{pid:05d}.u2") as f:
                 f.write(buf)
 
     recs.foreachPartition(dump)

@@ -37,6 +37,13 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# The index sidecar must stay self-contained wherever its parquet half
+# lives (file://, hdfs://, s3a://) — shared Hadoop-FS helpers, atomic
+# temp+rename writes. Also used by engine/checkpoint and the streaming
+# layout guard.
+from ..fsutil import fs_read_text as _fs_read_text
+from ..fsutil import fs_write_text as _fs_write_text
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -372,33 +379,6 @@ def read_ivf_index(spark, path: str):
         )
     ]
     return spark.read.parquet(path), cents
-
-
-def _fs_write_text(spark, path: str, content: str) -> None:
-    """Write a small text file through the Hadoop FileSystem API — a local
-    ``open()`` cannot create ``s3a://``/``hdfs://`` paths, and the index
-    must stay self-contained wherever its parquet half lives. Atomic:
-    write a temp name, then rename over the target (a crash between the
-    parquet write and this leaves no half-written sidecar)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
-    out = fs.create(tmp, True)
-    out.write(bytearray(content.encode("utf-8")))
-    out.close()
-    fs.delete(hpath, False)
-    fs.rename(tmp, hpath)
-
-
-def _fs_read_text(spark, path: str) -> str:
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.open(hpath)
-    baos = jvm.java.io.ByteArrayOutputStream()
-    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
-    return bytes(baos.toByteArray()).decode("utf-8")
 
 
 def ivf_index_topk(

@@ -30,7 +30,6 @@ cross-batch semantics use that).
 from __future__ import annotations
 
 import json
-import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -45,6 +44,7 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
+from .. import fsutil
 from ..datagen import dims as dimsmod
 from ..engine import enrich, match, route
 from ..engine.correlate import counter_emit
@@ -166,9 +166,19 @@ def _make_role_state_fn(
             return
         if state.exists:
             blob = json.loads(state.get[0])
-            counters = {int(k): tuple(v) for k, v in blob["counters"].items()}
-            hwm = blob.get("hwm", {})
-            late = blob.get("late", 0)
+            if "counters" not in blob:
+                # pre-round-3 flat {sid: [window_start, count]} blob (the
+                # format before the hwm/late redelivery guard existed):
+                # adopt it as the counters map instead of KeyError'ing a
+                # resumed checkpoint; the guard fields start empty, so the
+                # first post-migration batch cannot detect redelivery of
+                # pre-migration turns — same exposure the old code had.
+                counters = {int(k): tuple(v) for k, v in blob.items()}
+                hwm, late = {}, 0
+            else:
+                counters = {int(k): tuple(v) for k, v in blob["counters"].items()}
+                hwm = blob.get("hwm", {})
+                late = blob.get("late", 0)
         else:
             counters, hwm, late = {}, {}, 0
         parts = [pdf for pdf in pdfs if len(pdf)]
@@ -373,17 +383,21 @@ def make_batch_writer(out_dir: str, sinks: tuple[str, ...]):
     replay — the same input batch yields the same per-sink counts — so
     idempotence holds. Sinks written by the pre-``batch=`` flat-append
     layout are detected and refused with a migration message: mixing the
-    two layouts breaks partition discovery for every reader."""
+    two layouts breaks partition discovery for every reader. The listing
+    goes through the Hadoop FileSystem API (fsutil.fs_listdir), so the
+    guard fires on ``s3a://``/``hdfs://`` sink paths too — exactly the
+    deployments most likely to hold a stale layout; only a genuinely
+    absent directory is treated as nothing-to-check."""
     legacy_checked: set[str] = set()
 
-    def _check_legacy(sink: str) -> None:
+    def _check_legacy(spark: SparkSession, sink: str) -> None:
         if sink in legacy_checked:
             return
         legacy_checked.add(sink)
-        sink_dir = os.path.join(out_dir, sink)
+        sink_dir = out_dir.rstrip("/") + "/" + sink
         try:
-            entries = os.listdir(sink_dir)
-        except OSError:  # absent, or a non-local FS path — nothing to check
+            entries = fsutil.fs_listdir(spark, sink_dir)
+        except FileNotFoundError:  # absent — first write to this sink
             return
         if any(e.startswith("part-") for e in entries):
             raise RuntimeError(
@@ -404,12 +418,12 @@ def make_batch_writer(out_dir: str, sinks: tuple[str, ...]):
             for sink in sinks:
                 if not counts.get(sink):
                     continue
-                _check_legacy(sink)
+                _check_legacy(batch_df.sparkSession, sink)
                 (
                     batch_df.filter(F.col("sink") == sink)
                     .sortWithinPartitions("conv_id", "turn_idx", "sid")
                     .write.mode("overwrite")
-                    .parquet(os.path.join(out_dir, sink, f"batch={batch_id}"))
+                    .parquet(f"{out_dir.rstrip('/')}/{sink}/batch={batch_id}")
                 )
         finally:
             batch_df.unpersist()

@@ -69,6 +69,14 @@ def main(argv: list[str] | None = None) -> None:
     mode = args.mode or cfg.mode
     resume_dir = args.resume_dir or cfg.resume_dir
     checkpoint_dir = args.checkpoint_dir or cfg.checkpoint_dir
+    # fail at argparse time, not as a TypeError deep inside Spark
+    if mode == "resumable" and not (resume_dir or output):
+        ap.error("resumable mode needs --resume-dir or --output (flag or config)")
+    if mode == "stream":
+        if not output:
+            ap.error("stream mode needs --output (flag or config `output:`)")
+        if not checkpoint_dir:
+            ap.error("stream mode needs --checkpoint-dir (flag or config `checkpoint_dir:`)")
 
     if args.ruleset is not None:
         ruleset = {
