@@ -527,15 +527,24 @@ def q_ann_lsh_topk(spark, sf):  # scale path; oracle inlines the seeded planes
 
 
 def q_ann_lsh_index_topk(spark, sf):  # repeated-query scale path: the
-    # signature is MATERIALIZED once (build_lsh_index) and the query is a
-    # probe-enumeration IN filter — no per-query signature scan. nbits=8
-    # keeps the probe ball a meaningful fraction of the small test corpus;
-    # the written/partitioned form and its plan pruning are asserted in
-    # tests/test_ops.py (PartitionFilters + In(_sig) pushdown).
+    # signature is MATERIALIZED once into a written, partitioned index and
+    # the query is a probe-enumeration IN filter — no per-query signature
+    # scan. The index is built here via write + APPEND (half the corpus
+    # each) so the driver's correctness gate also covers incremental index
+    # maintenance: append ≡ rebuild exactly (hyperplanes are a pure
+    # function of (dim, nbits) — equality-tested in tests/test_ops.py),
+    # so the same SQL oracle applies. nbits=8 keeps the probe ball a
+    # meaningful fraction of the small test corpus; plan pruning
+    # (PartitionFilters + In(_sig) pushdown) is asserted in tests.
+    import tempfile
+
     emb = _t(spark, sf, "embeddings")
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    idx = SIM.build_lsh_index(emb.where(F.col("vec_id") != 0), dim=len(q), nbits=8)
-    return SIM.lsh_index_topk(idx, q, k=10, nbits=8, radius=2)
+    rest = emb.where(F.col("vec_id") != 0)
+    path = tempfile.mkdtemp(prefix="sagan_lsh_idx_") + "/idx"
+    SIM.write_lsh_index(rest.where(F.col("vec_id") % 2 == 0), path, dim=len(q), nbits=8)
+    SIM.append_to_lsh_index(rest.where(F.col("vec_id") % 2 == 1), path, dim=len(q), nbits=8)
+    return SIM.lsh_index_topk(spark.read.parquet(path), q, k=10, nbits=8, radius=2)
 
 
 def q_ann_ivf_topk(spark, sf):  # centroid sample is md5-portable → SQL oracle

@@ -199,6 +199,34 @@ def write_lsh_index(
     )
 
 
+def append_to_lsh_index(
+    new_emb: DataFrame,
+    path: str,
+    dim: int,
+    nbits: int = 16,
+    part_bits: int = 8,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: write ONLY the new rows' signatures
+    into the existing partitioned layout (mode=append). At corpus scale an
+    index is never rebuilt from scratch for a daily delta — the hyperplanes
+    are a pure function of (dim, nbits), so appended signatures are
+    bit-identical to what a full rebuild would produce and
+    index-after-append ≡ index-rebuilt exactly (tested). Each appended
+    file is itself sorted by ``_sig``, so parquet min/max row-group
+    skipping keeps working per file; after many small appends, compact a
+    partition by rewriting it (same write shape, overwrite dynamic
+    partition) to restore file counts."""
+    (
+        build_lsh_index(new_emb, dim, nbits, part_bits, vec_col)
+        .repartition("_sigp")
+        .sortWithinPartitions("_sig")
+        .write.partitionBy("_sigp")
+        .mode("append")
+        .parquet(path)
+    )
+
+
 def lsh_index_topk(
     index: DataFrame,
     q: list[float],
@@ -366,19 +394,41 @@ def write_ivf_index(
     )
 
 
-def read_ivf_index(spark, path: str):
-    """Load a written IVF index: (index DataFrame, centroids) — pass both
-    to ivf_index_topk. Sidecar files starting with '_' are ignored by
-    Spark's parquet reader, so the metadata rides inside the index dir."""
+def read_ivf_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
+    """The centroid sidecar of a written IVF index."""
     import json
 
-    cents = [
+    return [
         (int(cid), [float(x) for x in vec])
         for cid, vec in json.loads(
             _fs_read_text(spark, path.rstrip("/") + "/_ivf_centroids.json")
         )
     ]
-    return spark.read.parquet(path), cents
+
+
+def read_ivf_index(spark, path: str):
+    """Load a written IVF index: (index DataFrame, centroids) — pass both
+    to ivf_index_topk. Sidecar files starting with '_' are ignored by
+    Spark's parquet reader, so the metadata rides inside the index dir."""
+    return spark.read.parquet(path), read_ivf_centroids(spark, path)
+
+
+def append_to_ivf_index(new_emb: DataFrame, path: str, vec_col: str = "embedding") -> None:
+    """Incremental IVF maintenance: assign ONLY the new rows to cells using
+    the index's own persisted centroids (the sidecar — appending against
+    different centroids would corrupt cell pruning) and append them into
+    the cell-partitioned layout. index-after-append ≡ index-rebuilt at the
+    same centroids (tested). Centroids are deliberately NOT re-refined
+    here: drifted corpora warrant a rebuild, not a silent reassignment of
+    only the delta."""
+    cents = read_ivf_centroids(new_emb.sparkSession, path)
+    (
+        build_ivf_index(new_emb, cents, vec_col)
+        .repartition("_cell")
+        .write.partitionBy("_cell")
+        .mode("append")
+        .parquet(path)
+    )
 
 
 def ivf_index_topk(

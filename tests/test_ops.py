@@ -224,6 +224,90 @@ def test_ivf_index_written_partition_pruning(spark, emb, tmp_path):
     assert got == want
 
 
+def test_lsh_index_append_equals_rebuild(spark, emb, tmp_path):
+    """Daily-delta maintenance: index(first 300) + append(last 100) must be
+    row-identical to a from-scratch rebuild over all 400 (hyperplanes are a
+    pure function of (dim, nbits)), and serve identical query results."""
+    q = _q(emb)
+    old = emb.where(F.col("vec_id") < 300)
+    new = emb.where(F.col("vec_id") >= 300)
+    inc, full = str(tmp_path / "lsh_inc"), str(tmp_path / "lsh_full")
+    SIM.write_lsh_index(old, inc, dim=64, nbits=16, part_bits=8)
+    SIM.append_to_lsh_index(new, inc, dim=64, nbits=16, part_bits=8)
+    SIM.write_lsh_index(emb, full, dim=64, nbits=16, part_bits=8)
+
+    def rows(p):
+        return sorted(
+            (r.vec_id, r._sig, r._sigp) for r in spark.read.parquet(p).collect()
+        )
+
+    assert rows(inc) == rows(full)
+    got = [(r.vec_id, r.sim) for r in SIM.lsh_index_topk(
+        spark.read.parquet(inc), q, k=10, nbits=16, radius=2).collect()]
+    want = [(r.vec_id, r.sim) for r in SIM.lsh_index_topk(
+        spark.read.parquet(full), q, k=10, nbits=16, radius=2).collect()]
+    assert got == want
+
+
+def test_ivf_index_append_equals_rebuild(spark, emb, tmp_path):
+    """Appended rows are assigned with the index's OWN sidecar centroids,
+    so append ≡ rebuild at the same centroids — cell pruning stays valid."""
+    q = _q(emb)
+    old = emb.where(F.col("vec_id") < 300)
+    new = emb.where(F.col("vec_id") >= 300)
+    cents = SIM.select_centroids(old, 8)
+    inc, full = str(tmp_path / "ivf_inc"), str(tmp_path / "ivf_full")
+    SIM.write_ivf_index(old, inc, cents)
+    SIM.append_to_ivf_index(new, inc)
+    SIM.write_ivf_index(emb, full, cents)
+
+    def rows(p):
+        return sorted((r.vec_id, r._cell) for r in spark.read.parquet(p).collect())
+
+    assert rows(inc) == rows(full)
+    idx, cents_l = SIM.read_ivf_index(spark, inc)
+    got = [(r.vec_id, r.sim) for r in SIM.ivf_index_topk(idx, q, cents_l, k=10, nprobe=2).collect()]
+    fidx, fcents = SIM.read_ivf_index(spark, full)
+    want = [(r.vec_id, r.sim) for r in SIM.ivf_index_topk(fidx, q, fcents, k=10, nprobe=2).collect()]
+    assert got == want
+
+
+def test_kmeans_refine_deterministic_across_chunkings(emb):
+    """Refined centroids must not depend on how the input is partitioned
+    (the avg aggregates commute up to float rounding — assert to 1e-9)."""
+    import numpy as np
+
+    rest = emb.where(F.col("vec_id") != 0)
+    cents0 = SIM.select_centroids(rest, 8)
+    a = SIM.kmeans_refine(rest.repartition(1), cents0, iters=2)
+    b = SIM.kmeans_refine(rest.repartition(7, "vec_id"), cents0, iters=2)
+    assert [c for c, _ in a] == [c for c, _ in b]
+    for (_, va), (_, vb) in zip(a, b):
+        assert np.allclose(va, vb, rtol=0, atol=1e-9)
+
+
+def test_ivf_kmeans_refined_recall_not_worse(emb):
+    """VERDICT r3 #5: at equal nprobe, Lloyd-refined cells must match or
+    beat the raw md5-sample centroids on mean recall@10 over a query
+    panel (tighter cells put true neighbors in fewer cells)."""
+    rest = emb.where(F.col("vec_id") >= 30)  # hold out queries incl. clique
+    qids = [0, 1, 5, 12, 25]
+    rows = {r.vec_id: r.embedding for r in emb.where(F.col("vec_id").isin(qids)).collect()}
+    tot_raw = tot_ref = 0.0
+    for qid in qids:
+        q = [float(x) for x in rows[qid]]
+        exact = SIM.brute_topk(rest, q, k=10)
+        tot_raw += _recall(SIM.ivf_topk(rest, q, k=10, ncentroids=8, nprobe=2), exact)
+        tot_ref += _recall(
+            SIM.ivf_topk(rest, q, k=10, ncentroids=8, nprobe=2, kmeans_iters=2), exact
+        )
+    assert tot_ref >= tot_raw, (tot_ref, tot_raw)
+    # absolute floor is looser than the single-clique-query tests above:
+    # the panel includes diffuse random queries whose top-10 genuinely
+    # spreads over >nprobe cells (measured 0.56 refined vs 0.52 raw)
+    assert tot_ref / len(qids) >= 0.5
+
+
 def _union_find(pairs):
     """Independent pure-Python oracle: min-id connected components."""
     parent = {}
