@@ -214,9 +214,8 @@ def append_to_lsh_index(
     bit-identical to what a full rebuild would produce and
     index-after-append ≡ index-rebuilt exactly (tested). Each appended
     file is itself sorted by ``_sig``, so parquet min/max row-group
-    skipping keeps working per file; after many small appends, compact a
-    partition by rewriting it (same write shape, overwrite dynamic
-    partition) to restore file counts."""
+    skipping keeps working per file; after many small appends, restore
+    one-file-per-partition with compact_lsh_index."""
     (
         build_lsh_index(new_emb, dim, nbits, part_bits, vec_col)
         .repartition("_sigp")
@@ -224,6 +223,23 @@ def append_to_lsh_index(
         .write.partitionBy("_sigp")
         .mode("append")
         .parquet(path)
+    )
+
+
+def compact_lsh_index(spark, src: str, dst: str) -> None:
+    """Rewrite an appended-to index with one sorted file per signature
+    partition (many small appends fragment row-group stats and scan
+    planning). Writes to ``dst`` — compact-then-swap is the caller's
+    atomic cutover (readers keep a consistent view of ``src`` throughout;
+    Spark cannot safely overwrite a path it is reading). Row-identical to
+    the source (tested)."""
+    (
+        spark.read.parquet(src)
+        .repartition("_sigp")
+        .sortWithinPartitions("_sig")
+        .write.partitionBy("_sigp")
+        .mode("overwrite")
+        .parquet(dst)
     )
 
 
@@ -428,6 +444,26 @@ def append_to_ivf_index(new_emb: DataFrame, path: str, vec_col: str = "embedding
         .write.partitionBy("_cell")
         .mode("append")
         .parquet(path)
+    )
+
+
+def compact_ivf_index(spark, src: str, dst: str) -> None:
+    """IVF twin of compact_lsh_index: one file per cell partition, and the
+    centroid sidecar is carried over (an index without its centroids is
+    not loadable)."""
+    import json
+
+    (
+        spark.read.parquet(src)
+        .repartition("_cell")
+        .write.partitionBy("_cell")
+        .mode("overwrite")
+        .parquet(dst)
+    )
+    _fs_write_text(
+        spark,
+        dst.rstrip("/") + "/_ivf_centroids.json",
+        json.dumps([[cid, vec] for cid, vec in read_ivf_centroids(spark, src)]),
     )
 
 

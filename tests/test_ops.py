@@ -272,6 +272,34 @@ def test_ivf_index_append_equals_rebuild(spark, emb, tmp_path):
     assert got == want
 
 
+def test_index_compaction_preserves_rows_and_defragments(spark, emb, tmp_path):
+    """compact_*_index: row-identical output, ONE data file per partition
+    directory afterwards (appends fragment the layout), sidecar carried."""
+    import glob as g
+    import os as o
+
+    old = emb.where(F.col("vec_id") < 300)
+    new = emb.where(F.col("vec_id") >= 300)
+    src, dst = str(tmp_path / "lsh_src"), str(tmp_path / "lsh_dst")
+    SIM.write_lsh_index(old, src, dim=64, nbits=16, part_bits=8)
+    SIM.append_to_lsh_index(new, src, dim=64, nbits=16, part_bits=8)
+    SIM.compact_lsh_index(spark, src, dst)
+    rows = lambda p: sorted((r.vec_id, r._sig, r._sigp) for r in spark.read.parquet(p).collect())
+    assert rows(src) == rows(dst)
+    for part in g.glob(dst + "/_sigp=*"):
+        files = [f for f in o.listdir(part) if f.endswith(".parquet")]
+        assert len(files) == 1, part
+
+    cents = SIM.select_centroids(old, 8)
+    isrc, idst = str(tmp_path / "ivf_src"), str(tmp_path / "ivf_dst")
+    SIM.write_ivf_index(old, isrc, cents)
+    SIM.append_to_ivf_index(new, isrc)
+    SIM.compact_ivf_index(spark, isrc, idst)
+    irows = lambda p: sorted((r.vec_id, r._cell) for r in spark.read.parquet(p).collect())
+    assert irows(isrc) == irows(idst)
+    assert SIM.read_ivf_centroids(spark, idst) == SIM.read_ivf_centroids(spark, isrc)
+
+
 def test_kmeans_refine_deterministic_across_chunkings(emb):
     """Refined centroids must not depend on how the input is partitioned
     (the avg aggregates commute up to float rounding — assert to 1e-9)."""
