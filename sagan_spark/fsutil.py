@@ -11,6 +11,11 @@ Driver-side only: Python executors have no JVM gateway, so executor-side
 binary writes (the unified2 sink) use ``pyarrow.fs`` instead — see
 ``engine/route.write_unified2_binary``.
 
+Scope: run STATE (manifests, sidecars, sink trees) goes through here.
+Static job CONFIG (.rules files, sagan_spark.yaml) deliberately stays
+plain ``open()``: those are driver-local inputs shipped with the job
+(``spark-submit --files``), read before a session necessarily exists.
+
 Writes are atomic (temp name + rename) so a crash between a data write and
 its metadata write leaves no half-written file. On object stores rename is
 copy+delete rather than atomic, but Hadoop's S3A committers give the same
