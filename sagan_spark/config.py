@@ -18,6 +18,7 @@ same role is played by a ``sagan_spark.yaml`` consumed by
       shuffle_partitions: 4096
       state_ttl_minutes: 30           # streaming state eviction
       max_files_per_trigger: 1
+      track_hwm_cap: 100000           # bounded redelivery guard per track key
       checkpoint_dir: /data/ck
       resume_dir: /data/alerts/_bookmarks
       master: local[32]               # usually left to spark-submit
@@ -50,6 +51,9 @@ class PipelineConfig:
     max_files_per_trigger: int = 1
     checkpoint_dir: str | None = None
     resume_dir: str | None = None
+    # bounded-state knob for track-keyed streaming operators: max
+    # per-conversation redelivery marks kept per track key (LRU evicted)
+    track_hwm_cap: int = 100_000
 
     def __post_init__(self) -> None:
         if self.mode not in ("batch", "resumable", "stream", "dynamic"):
@@ -68,6 +72,7 @@ _ENGINE_KEYS = {
     "max_files_per_trigger",
     "checkpoint_dir",
     "resume_dir",
+    "track_hwm_cap",
 }
 
 

@@ -297,6 +297,7 @@ def build_stream(
     max_files_per_trigger: int = 1,
     state_ttl_minutes: int | None = None,
     match_mode: str = "fused",
+    track_hwm_cap: int = 100_000,
 ) -> DataFrame:
     """The streaming alert DataFrame (unstarted query)."""
     from ..packaging import ensure_shipped
@@ -358,7 +359,7 @@ def build_stream(
                 enriched.sid.isin(list(rules))
             ).drop("extracted")
             track_replayed = track_stateful.groupBy(col).applyInPandasWithState(
-                _make_role_state_fn(rules, out_cols, state_ttl_minutes),
+                _make_role_state_fn(rules, out_cols, state_ttl_minutes, track_hwm_cap),
                 outputStructType=out_schema,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
@@ -441,6 +442,7 @@ def run_stream(
     state_ttl_minutes: int | None = None,
     trigger_processing_time: str | None = None,
     match_mode: str = "fused",
+    track_hwm_cap: int = 100_000,
 ):
     """Start the streaming pipeline; per-sink fan-out via foreachBatch
     (idempotent per-batch parquet directories — exactly-once under
@@ -455,7 +457,7 @@ def run_stream(
     listeners/output instead."""
     alerts = build_stream(
         spark, input_dir, ruleset, max_files_per_trigger, state_ttl_minutes,
-        match_mode=match_mode,
+        match_mode=match_mode, track_hwm_cap=track_hwm_cap,
     )
     writer = (
         alerts.writeStream.foreachBatch(make_batch_writer(out_dir, ruleset.sinks()))

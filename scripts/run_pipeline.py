@@ -124,6 +124,7 @@ def main(argv: list[str] | None = None) -> None:
             max_files_per_trigger=cfg.max_files_per_trigger,
             state_ttl_minutes=cfg.state_ttl_minutes,
             match_mode=cfg.match_mode,
+            track_hwm_cap=cfg.track_hwm_cap,
         )
         q.awaitTermination()
 

@@ -235,6 +235,18 @@ def test_config_rules_entries_stay_raw_strings():
     assert cfg.rules == ("0123", "007.rules")
 
 
+def test_config_track_hwm_cap_key():
+    """The bounded-state knob for track-keyed streaming operators is a
+    first-class engine config key (plumbed run_pipeline → run_stream →
+    _make_role_state_fn; the bound itself is asserted in
+    test_track_cardinality.test_hwm_map_bounded_at_cap)."""
+    from sagan_spark.config import dump_config, parse_config
+
+    cfg = parse_config("input: /x\nengine:\n  track_hwm_cap: 5\n")
+    assert cfg.track_hwm_cap == 5
+    assert parse_config(dump_config(cfg)) == cfg
+
+
 def test_run_pipeline_validates_mode_paths(tmp_path):
     import sys
 
