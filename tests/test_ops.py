@@ -336,6 +336,46 @@ def test_ivf_kmeans_refined_recall_not_worse(emb):
     assert tot_ref / len(qids) >= 0.5
 
 
+def test_dedup_clusters_vs_duckdb_recursive_cte(spark):
+    """Independent SQL-engine oracle for connected components: DuckDB
+    WITH RECURSIVE transitive closure + min-label, over the REAL
+    documents table's LSH candidate pairs (the driver's 50-row window is
+    full, so this cross-engine check lives in pytest — complementing the
+    pure-Python union-find oracle below)."""
+    import duckdb
+
+    from sagan_spark.ops import dedup as D2
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = D2.minhash_signature(D2.shingles(d), num_hashes=8)
+    pairs = D2.lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=None)
+    got = {(r.doc_id, r.cluster) for r in D2.dedup_clusters(pairs).collect()}
+
+    pdf = pairs.select("a", "b").toPandas()
+    con = duckdb.connect()
+    con.register("edges_raw", pdf)
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                """
+                WITH RECURSIVE und AS (
+                    SELECT a AS src, b AS dst FROM edges_raw
+                    UNION SELECT b, a FROM edges_raw
+                ),
+                reach(node, lbl) AS (
+                    SELECT src, src FROM und
+                    UNION
+                    SELECT u.src, r.lbl FROM und u JOIN reach r ON r.node = u.dst
+                )
+                SELECT node, MIN(lbl) FROM reach GROUP BY node
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
 def _union_find(pairs):
     """Independent pure-Python oracle: min-id connected components."""
     parent = {}

@@ -103,3 +103,27 @@ def test_arrow_stage_is_bounded_to_candidates(spark, tiny_path):
     assert map_pos != -1
     tail = plan[map_pos:]
     assert "Filter" in tail.split("Scan parquet")[0], "no prefilter below the Python stage"
+
+
+def test_rule_meta_join_path_is_broadcast(spark):
+    """Above LITERAL_MAP_MAX_RULES, attach_rule_meta must be a
+    BroadcastHashJoin — no SortMergeJoin, no shuffle of the alert side
+    (the whole point of the size switch at catalog-scale rule sets)."""
+    from pyspark.sql import functions as F
+
+    from sagan_spark.engine.route import attach_rule_meta
+    from sagan_spark.rules.bulk import bulk_ruleset
+
+    rs = bulk_ruleset()
+    alerts = spark.range(1000).select(
+        F.lit("c").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        (F.lit(2000000) + F.col("id") % 40).alias("sid"),
+    )
+    out = attach_rule_meta(alerts, rs, max_literal_rules=0)  # force join path
+    plan = _explain(spark, out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") == plan.count("BroadcastExchange"), (
+        "join path introduced a non-broadcast exchange"
+    )
