@@ -228,6 +228,51 @@ def _make_role_state_fn(
     return fn
 
 
+def _make_dynamic_gate_fn(out_cols: list[str]):
+    """C7 dynamic rules, streaming form ([PUB src/processors/dynamic-rules.c]
+    enables a dependent rule when its parent fires; the batch transposition
+    is the two-pass re-scan in engine/pipeline.run_dynamic).
+
+    Streaming semantics are GO-FORWARD, like the reference's runtime
+    loader: a child alert emits iff its parent fired at an earlier arrival
+    position (earlier micro-batch, or earlier (ts, conv, turn) within this
+    batch). The batch two-pass re-scans the whole input once the parent
+    fires anywhere, so child events that ARRIVE before the parent's first
+    fire emit in batch but not in streaming — the same window-edge
+    divergence the reference has between a cold start and a long-running
+    daemon, documented rather than papered over (tested in
+    test_streaming_dynamic).
+
+    One stateful operator keyed by parent sid (cardinality = #dynamic
+    parents; the slice is parent+child ALERTS only, so the narrow key is
+    not a throughput bottleneck for rare dynamic rules). State is one
+    boolean per parent."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        parent_sid = int(key[0])
+        on = bool(json.loads(state.get[0]).get("on", False)) if state.exists else False
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        outs = []
+        if parts:
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+            pdf = pdf.sort_values(["ts", "conv_id", "turn_idx", "sid"], kind="mergesort")
+            sid = pdf["sid"].to_numpy()
+            keep = []
+            for i in range(len(pdf)):
+                if int(sid[i]) == parent_sid:
+                    on = True  # parent alerts always pass AND arm the gate
+                    keep.append(pdf.index[i])
+                elif on:
+                    keep.append(pdf.index[i])
+            if keep:
+                outs.append(pdf.loc[keep, out_cols])
+        state.update((json.dumps({"on": on}),))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return fn
+
+
 def _make_state_fn(ruleset: RuleSet, out_cols: list[str], ttl_minutes: int | None = None):
     """State function with two production policies (SURVEY §2.7):
 
@@ -366,6 +411,51 @@ def build_stream(
                 timeoutConf=timeout,
             )
             correlated = correlated.unionByName(track_replayed)
+
+    children_by_parent: dict[int, list[int]] = {}
+    for r in ruleset.rules:
+        if r.depends_on is not None:
+            children_by_parent.setdefault(r.depends_on, []).append(r.sid)
+    if children_by_parent:
+        by_sid = ruleset.by_sid()
+        for csids in children_by_parent.values():
+            for c in csids:
+                if by_sid[c].stateful:
+                    # a stateful child's counters would run inside the
+                    # conv/track replay even while the rule is disabled —
+                    # batch pass-2 only ever counts enabled events, so the
+                    # two would silently diverge; refuse instead
+                    raise ValueError(
+                        f"sid {c}: stateful dynamic rules are not supported "
+                        "in streaming (its after/threshold state would "
+                        "count events arriving while the rule is disabled)"
+                    )
+        if "extracted" in correlated.columns:
+            # same MapType-through-Arrow-state rationale as the replay path
+            correlated = correlated.drop("extracted")
+        out_schema = correlated.schema
+        out_cols = [f.name for f in out_schema.fields]
+        parents = list(children_by_parent)
+        children = [c for cs in children_by_parent.values() for c in cs]
+        # one gate operator: key every parent/child alert by the parent sid
+        key_entries: list = []
+        for p, cs in children_by_parent.items():
+            key_entries += [F.lit(p), F.lit(p)]
+            for c in cs:
+                key_entries += [F.lit(c), F.lit(p)]
+        dyn = correlated.filter(correlated.sid.isin(parents + children)).withColumn(
+            "_dyn", F.element_at(F.create_map(*key_entries), F.col("sid"))
+        )
+        gated = dyn.groupBy("_dyn").applyInPandasWithState(
+            _make_dynamic_gate_fn(out_cols),
+            outputStructType=out_schema,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,  # a gate bit never expires
+        )
+        correlated = correlated.filter(
+            ~correlated.sid.isin(parents + children)
+        ).unionByName(gated)
     return route.attach_rule_meta(correlated, ruleset)
 
 
