@@ -297,6 +297,9 @@ class RuleSet:
       enablement is derived from *emitted* alerts, and a state-only parent
       never emits ([PUB src/processors/dynamic-rules.c] reads the output
       stream too).
+    - depends_on chains (A→B→C) are refused: batch enablement is derived
+      from pass-1 firings only, so a grandchild would silently never
+      enable; one level, loudly.
     """
 
     rules: tuple[Rule, ...]
@@ -337,6 +340,18 @@ class RuleSet:
                     raise ValueError(
                         f"sid {r.sid}: depends_on references noalert sid "
                         f"{r.depends_on}, which never emits alerts"
+                    )
+                if parent is not None and parent.depends_on is not None:
+                    # one level only, loudly: the batch two-pass derives
+                    # enablement from PASS-1 firings, so a grandchild whose
+                    # parent only fires in pass 2 would silently never
+                    # enable; the streaming gate keys on the parent sid and
+                    # a chained sid would need to be parent and child at
+                    # once. Refuse rather than diverge quietly.
+                    raise ValueError(
+                        f"sid {r.sid}: depends_on chains are unsupported "
+                        f"(parent {r.depends_on} itself depends on "
+                        f"{parent.depends_on}); dynamic rules are one level"
                     )
 
     def by_sid(self) -> dict[int, Rule]:

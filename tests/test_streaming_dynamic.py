@@ -148,6 +148,20 @@ def test_stream_dynamic_parent_never_fires(spark, tmp_path):
     assert _batch_fired(spark, d, _ruleset()) == set()
 
 
+def test_depends_on_chain_refused():
+    """A→B→C chains never enable C in the batch two-pass (enablement is
+    derived from pass-1 firings), so RuleSet refuses them loudly for both
+    engines instead of diverging quietly."""
+    with pytest.raises(ValueError, match="chains are unsupported"):
+        RuleSet(
+            (
+                Rule(sid=1, msg="a", sink="fast", contents=(ContentSpec("x",),)),
+                Rule(sid=2, msg="b", sink="fast", contents=(ContentSpec("y",),), depends_on=1),
+                Rule(sid=3, msg="c", sink="fast", contents=(ContentSpec("z",),), depends_on=2),
+            )
+        )
+
+
 def test_stream_dynamic_rejects_stateful_child(spark, tmp_path):
     from sagan_spark.streaming import pipeline as sp
 
