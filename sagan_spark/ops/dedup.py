@@ -21,7 +21,7 @@ no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -250,6 +250,37 @@ def dedup_survivors(
     non-survivor set: only duplicate ids shuffle, the corpus doesn't."""
     losers = clusters.where(F.col("doc_id") != F.col("cluster")).select(
         F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def dedup_survivors_ranked(
+    df: DataFrame,
+    clusters: DataFrame,
+    order_col: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked survivor selection: keep the cluster member that
+    maximizes ``order_col`` (e.g. ops/text.quality_score — a curation
+    pipeline keeps the best-written duplicate, not the lowest id;
+    deterministic id tiebreak). Rows in no cluster pass through.
+
+    Shape at scale: only the clustered slice (duplicates, a small fraction
+    of the corpus) joins and takes the per-cluster window; the corpus
+    itself only anti-joins the loser-id set — same discipline as
+    dedup_survivors."""
+    from pyspark.sql import Window
+
+    members = df.select(F.col(id_col), order_col.alias("_rank")).join(
+        clusters.withColumnRenamed("doc_id", id_col), on=id_col
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("_rank").desc(), F.col(id_col).asc()
+    )
+    losers = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
 

@@ -336,6 +336,38 @@ def test_ivf_kmeans_refined_recall_not_worse(emb):
     assert tot_ref / len(qids) >= 0.5
 
 
+def test_dedup_survivors_ranked_keeps_best_member(spark):
+    """Quality-ranked survivor selection: the kept member of each cluster
+    maximizes the rank column (id tiebreak); unclustered rows pass
+    through; survivor count equals dedup_survivors' (one per cluster)."""
+    from sagan_spark.ops import dedup as D2
+    from sagan_spark.ops.text import quality_score
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = D2.minhash_signature(D2.shingles(d), num_hashes=8)
+    pairs = D2.lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=None)
+    clusters = D2.dedup_clusters(pairs).persist()
+    kept = D2.dedup_survivors_ranked(d, clusters, quality_score(F.col("text")))
+    base = D2.dedup_survivors(d, clusters)
+    assert kept.count() == base.count()
+
+    # oracle: per cluster, max (quality, -id is asc tiebreak) member kept
+    q = {r.doc_id: r.q for r in d.select("doc_id", quality_score(F.col("text")).alias("q")).collect()}
+    byc: dict = {}
+    for r in clusters.collect():
+        byc.setdefault(r.cluster, []).append(r.doc_id)
+    want_kept_clustered = {
+        max(members, key=lambda i: (q[i], -i)) for members in byc.values()
+    }
+    clustered_ids = {r.doc_id for r in clusters.collect()}
+    got = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert got & clustered_ids == want_kept_clustered
+    assert {i for i in got if i not in clustered_ids} == {
+        r.doc_id for r in d.select("doc_id").collect()
+    } - clustered_ids
+    clusters.unpersist()
+
+
 def test_dedup_clusters_vs_duckdb_recursive_cte(spark):
     """Independent SQL-engine oracle for connected components: DuckDB
     WITH RECURSIVE transitive closure + min-label, over the REAL
