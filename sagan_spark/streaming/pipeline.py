@@ -344,7 +344,15 @@ def build_stream(
     match_mode: str = "fused",
     track_hwm_cap: int = 100_000,
 ) -> DataFrame:
-    """The streaming alert DataFrame (unstarted query)."""
+    """The streaming alert DataFrame (unstarted query).
+
+    NOTE: the stateful stage is one unified operator keyed by
+    (_skind, _skey) — see the comment at its construction site. Spark
+    does not support changing a query's stateful-operator layout between
+    restarts, so checkpoints written by the pre-unification per-domain
+    layout cannot be resumed; restart those streams with a fresh
+    checkpoint dir (the exactly-once batch=<id> sink layout is unaffected
+    and readable throughout)."""
     from ..packaging import ensure_shipped
 
     ensure_shipped(spark)
@@ -369,14 +377,54 @@ def build_stream(
     conv_sids = [
         r.sid for r in ruleset.rules if r.stateful and r.sid not in tracked_sids
     ]
-    stateful_sids = conv_sids + tracked_sids
+
+    children_by_parent: dict[int, list[int]] = {}
+    for r in ruleset.rules:
+        if r.depends_on is not None:
+            children_by_parent.setdefault(r.depends_on, []).append(r.sid)
+    by_sid = ruleset.by_sid()
+    for p, csids in children_by_parent.items():
+        # dynamic rules must be stateless in streaming: a stateful CHILD's
+        # counters would run inside the replay even while the rule is
+        # disabled (batch pass-2 only ever counts enabled events), and a
+        # stateful PARENT would need its post-replay emissions to feed the
+        # gate — a second stateful hop Spark cannot chain. Refuse loudly.
+        parent_rule = by_sid.get(p)
+        if parent_rule is not None and parent_rule.stateful:
+            raise ValueError(
+                f"sid {p}: stateful dynamic PARENT rules are not supported "
+                "in streaming (gating needs the parent's post-replay "
+                "emissions, which would chain two stateful operators)"
+            )
+        for c in csids:
+            if by_sid[c].stateful:
+                raise ValueError(
+                    f"sid {c}: stateful dynamic rules are not supported "
+                    "in streaming (its after/threshold state would "
+                    "count events arriving while the rule is disabled)"
+                )
+    parents = list(children_by_parent)
+    children = [c for cs in children_by_parent.values() for c in cs]
+    special_sids = conv_sids + tracked_sids + parents + children
+
     correlated = enriched
-    if stateful_sids:
+    if special_sids:
+        # ONE stateful operator for every state domain. Spark rejects a
+        # streaming query containing more than one applyInPandasWithState
+        # ("Multiple applyInPandasWithStates are not supported" — found
+        # empirically when combining conv-stateful and dynamic rules), so
+        # the conv replay, the role/tool track counters and the dynamic
+        # gate all share a single operator keyed by the composite
+        # (_skind, _skey): ("conv", conv_id) / ("role", role) /
+        # ("tool", tool) / ("dyn", parent sid). The state function
+        # dispatches on the domain; state blobs stay per-domain-key, so
+        # semantics and state sizes are identical to separate operators.
+        #
         # extracted (map) is dropped through the state path: Arrow state
         # output with MapType is fragile across versions, and no stateful
         # canonical rule extracts fields. Re-attachable via grok re-run if
         # a rule set ever needs both.
-        stateless = enriched.filter(~enriched.sid.isin(stateful_sids)).drop("extracted")
+        stateless = enriched.filter(~enriched.sid.isin(special_sids)).drop("extracted")
         out_schema = stateless.schema
         out_cols = [f.name for f in out_schema.fields]
         timeout = (
@@ -384,78 +432,61 @@ def build_stream(
             if state_ttl_minutes is not None
             else GroupStateTimeout.NoTimeout
         )
-        correlated = stateless
-        if conv_sids:
-            conv_stateful = enriched.filter(enriched.sid.isin(conv_sids)).drop("extracted")
-            replayed = conv_stateful.groupBy("conv_id").applyInPandasWithState(
-                _make_state_fn(ruleset, out_cols, state_ttl_minutes),
-                outputStructType=out_schema,
-                stateStructType=STATE_SCHEMA,
-                outputMode="append",
-                timeoutConf=timeout,
-            )
-            correlated = correlated.unionByName(replayed)
-        for col, rules in sorted(tracked.items()):
-            # one additional stateful operator per track column (role /
-            # tool): the streaming twin of correlate's track-keyed batch
-            # branches. TTL applies here too — a high-cardinality track
-            # key (username) needs idle-key eviction like conversations.
-            track_stateful = enriched.filter(
-                enriched.sid.isin(list(rules))
-            ).drop("extracted")
-            track_replayed = track_stateful.groupBy(col).applyInPandasWithState(
-                _make_role_state_fn(rules, out_cols, state_ttl_minutes, track_hwm_cap),
-                outputStructType=out_schema,
-                stateStructType=STATE_SCHEMA,
-                outputMode="append",
-                timeoutConf=timeout,
-            )
-            correlated = correlated.unionByName(track_replayed)
 
-    children_by_parent: dict[int, list[int]] = {}
-    for r in ruleset.rules:
-        if r.depends_on is not None:
-            children_by_parent.setdefault(r.depends_on, []).append(r.sid)
-    if children_by_parent:
-        by_sid = ruleset.by_sid()
-        for csids in children_by_parent.values():
-            for c in csids:
-                if by_sid[c].stateful:
-                    # a stateful child's counters would run inside the
-                    # conv/track replay even while the rule is disabled —
-                    # batch pass-2 only ever counts enabled events, so the
-                    # two would silently diverge; refuse instead
-                    raise ValueError(
-                        f"sid {c}: stateful dynamic rules are not supported "
-                        "in streaming (its after/threshold state would "
-                        "count events arriving while the rule is disabled)"
-                    )
-        if "extracted" in correlated.columns:
-            # same MapType-through-Arrow-state rationale as the replay path
-            correlated = correlated.drop("extracted")
-        out_schema = correlated.schema
-        out_cols = [f.name for f in out_schema.fields]
-        parents = list(children_by_parent)
-        children = [c for cs in children_by_parent.values() for c in cs]
-        # one gate operator: key every parent/child alert by the parent sid
-        key_entries: list = []
-        for p, cs in children_by_parent.items():
-            key_entries += [F.lit(p), F.lit(p)]
-            for c in cs:
-                key_entries += [F.lit(c), F.lit(p)]
-        dyn = correlated.filter(correlated.sid.isin(parents + children)).withColumn(
-            "_dyn", F.element_at(F.create_map(*key_entries), F.col("sid"))
+        branches: list[tuple[list[int], str, F.Column]] = []
+        if conv_sids:
+            branches.append((conv_sids, "conv", F.col("conv_id")))
+        for col, rules in sorted(tracked.items()):
+            # TTL applies to track keys too — a high-cardinality username
+            # track needs idle-key eviction like conversations
+            branches.append((list(rules), col, F.col(col)))
+        if children_by_parent:
+            key_entries: list = []
+            for p, cs in children_by_parent.items():
+                key_entries += [F.lit(p), F.lit(str(p))]
+                for c in cs:
+                    key_entries += [F.lit(c), F.lit(str(p))]
+            branches.append(
+                (parents + children, "dyn",
+                 F.element_at(F.create_map(*key_entries), F.col("sid")))
+            )
+        sids0, kind0, key0 = branches[-1]
+        kind_expr, key_expr = F.lit(kind0), key0
+        for sids, kname, kcol in reversed(branches[:-1]):
+            cond = F.col("sid").isin(sids)
+            kind_expr = F.when(cond, F.lit(kname)).otherwise(kind_expr)
+            key_expr = F.when(cond, kcol).otherwise(key_expr)
+
+        conv_fn = _make_state_fn(ruleset, out_cols, state_ttl_minutes)
+        track_fns = {
+            col: _make_role_state_fn(rules, out_cols, state_ttl_minutes, track_hwm_cap)
+            for col, rules in tracked.items()
+        }
+        gate_fn = _make_dynamic_gate_fn(out_cols)
+
+        def dispatch(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+            kind, val = key
+            if kind == "conv":
+                yield from conv_fn((val,), pdfs, state)
+            elif kind in track_fns:
+                yield from track_fns[kind]((val,), pdfs, state)
+            else:  # "dyn" — the gate never arms a timer, so never times out
+                yield from gate_fn((int(val),), pdfs, state)
+
+        special = (
+            enriched.filter(enriched.sid.isin(special_sids))
+            .drop("extracted")
+            .withColumn("_skind", kind_expr)
+            .withColumn("_skey", key_expr)
         )
-        gated = dyn.groupBy("_dyn").applyInPandasWithState(
-            _make_dynamic_gate_fn(out_cols),
+        replayed = special.groupBy("_skind", "_skey").applyInPandasWithState(
+            dispatch,
             outputStructType=out_schema,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,  # a gate bit never expires
+            timeoutConf=timeout,
         )
-        correlated = correlated.filter(
-            ~correlated.sid.isin(parents + children)
-        ).unionByName(gated)
+        correlated = stateless.unionByName(replayed)
     return route.attach_rule_meta(correlated, ruleset)
 
 

@@ -148,6 +148,92 @@ def test_stream_dynamic_parent_never_fires(spark, tmp_path):
     assert _batch_fired(spark, d, _ruleset()) == set()
 
 
+def test_stream_dynamic_coexists_with_stateful_rules(spark, tmp_path):
+    """The gate must compose with the conv-keyed stateful replay (both are
+    stateful operators on different slices of the same stream): dynamic
+    parent+child AND an independent after-rule, streaming ≡ batch on a
+    parent-early fixture."""
+    STATEFUL = 4300003
+    rs = RuleSet(
+        _ruleset().rules
+        + (
+            Rule(
+                sid=STATEFUL,
+                msg="second retry in conv",
+                sink="fast",
+                contents=(ContentSpec("retry",),),
+                after=AfterSpec(track="conv_id", count=1, seconds=3600),
+            ),
+        )
+    )
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write(
+        os.path.join(d, "b0.parquet"),
+        [("convA", 0, "parenttrigger now", 0), ("convA", 1, "retry one", 30)],
+    )
+    _write(
+        os.path.join(d, "b1.parquet"),
+        [("convA", 2, "retry two", 60), ("convB", 0, "childtrigger later", 90)],
+    )
+    got = _stream_fired(spark, d, str(tmp_path / "o"), str(tmp_path / "ck"), rs)
+    want = _batch_fired(spark, d, rs)
+    # after count=1 → fires from the 2nd in-window event (cross-batch state)
+    assert got == want == {
+        ("convA", 0, PARENT),
+        ("convB", 0, CHILD),
+        ("convA", 2, STATEFUL),
+    }
+
+
+def test_stream_conv_and_track_stateful_coexist(spark, tmp_path):
+    """Before the unified (_skind, _skey) operator, a conv-stateful rule
+    plus a role-tracked rule built TWO applyInPandasWithState operators,
+    which Spark rejects in one streaming query ("Multiple
+    applyInPandasWithStates are not supported") — the combination must now
+    run and match batch."""
+    rs = RuleSet(
+        (
+            Rule(
+                sid=4300004,
+                msg="conv retry window",
+                sink="fast",
+                contents=(ContentSpec("retry",),),
+                after=AfterSpec(track="conv_id", count=1, seconds=3600),
+            ),
+            Rule(
+                sid=4300005,
+                msg="role-wide error window",
+                sink="fast",
+                contents=(ContentSpec("failure",),),
+                after=AfterSpec(track="role", count=1, seconds=3600),
+            ),
+        )
+    )
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write(
+        os.path.join(d, "b0.parquet"),
+        [("convA", 0, "retry a", 0), ("convA", 1, "failure x", 30)],
+    )
+    _write(
+        os.path.join(d, "b1.parquet"),
+        [("convA", 2, "retry b", 60), ("convB", 0, "failure y", 90)],
+    )
+    got = _stream_fired(spark, d, str(tmp_path / "o"), str(tmp_path / "ck"), rs)
+    from sagan_spark.engine import pipeline
+
+    res = pipeline.run(spark, d, rs)
+    want = {
+        (r.conv_id, r.turn_idx, r.sid)
+        for r in res.alerts.select("conv_id", "turn_idx", "sid").collect()
+    }
+    res.unpersist()
+    # conv rule: 2nd retry in convA; role rule ("user"-wide): 2nd failure,
+    # which lands in a DIFFERENT conversation — proving the global track
+    assert got == want == {("convA", 2, 4300004), ("convB", 0, 4300005)}
+
+
 def test_depends_on_chain_refused():
     """A→B→C chains never enable C in the batch two-pass (enablement is
     derived from pass-1 firings), so RuleSet refuses them loudly for both
