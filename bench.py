@@ -175,6 +175,31 @@ def main() -> None:
 
     run("dedup_clusters", _dedup_clusters, repeats=3)
 
+    if only_set is None and os.environ.get("SAGAN_BENCH_STREAM", "1") == "1":
+        # Structured Streaming throughput over the same table (§2.7
+        # evidence): full pipeline through the unified stateful operator +
+        # exactly-once sinks, 4 micro-batches. Recorded in EXTRAS only so
+        # the headline suite total stays comparable across rounds.
+        import shutil
+        import tempfile
+
+        from sagan_spark.streaming import pipeline as stream_pipeline
+
+        sdir = tempfile.mkdtemp(prefix="sagan_bench_stream_")
+        try:
+            t0 = time.time()
+            q = stream_pipeline.run_stream(
+                spark, tx_path, os.path.join(sdir, "out"), os.path.join(sdir, "ck"),
+                max_files_per_trigger=max(1, len(os.listdir(tx_path)) // 4),
+            )
+            q.processAllAvailable()
+            q.stop()
+            wall = time.time() - t0
+            extras["stream_wall_s"] = round(wall, 3)
+            extras["stream_turns_per_sec"] = round(tx_rows / wall, 1)
+        finally:
+            shutil.rmtree(sdir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline suite wall-clock (pipeline turns/sec in extras)",
