@@ -68,6 +68,32 @@ def test_stream_equals_batch(spark, split_input, tmp_path):
     ref.unpersist()
 
 
+def test_stream_hybrid_mode_equals_fused(spark, split_input, tmp_path):
+    """Match modes must be interchangeable in streaming too: the hybrid
+    (two-scan) matcher through the unified stateful operator produces
+    exactly the fused default's alert set."""
+    out_f = str(tmp_path / "out_fused")
+    out_h = str(tmp_path / "out_hybrid")
+    rows = {}
+    for mode, out in (("fused", out_f), ("hybrid", out_h)):
+        q = stream_pipeline.run_stream(
+            spark, split_input, out, str(tmp_path / f"ck_{mode}"),
+            max_files_per_trigger=1, match_mode=mode,
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = set()
+        for sink in ("fast", "eve", "syslog", "unified2"):
+            p = os.path.join(out, sink)
+            if os.path.exists(p):
+                got |= {
+                    (r.conv_id, r.turn_idx, r.sid)
+                    for r in spark.read.parquet(p).select("conv_id", "turn_idx", "sid").collect()
+                }
+        rows[mode] = got
+    assert rows["fused"] == rows["hybrid"] and rows["fused"]
+
+
 def test_stream_state_crosses_batches(spark, split_input, tmp_path):
     """The flexbit rule (sid 1000012) must fire for at least one pair whose
     setter ('login failed') arrived in micro-batch 1 and checker ('sudo')
