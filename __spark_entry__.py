@@ -536,12 +536,17 @@ def q_ann_lsh_index_topk(spark, sf):  # repeated-query scale path: the
     # so the same SQL oracle applies. nbits=8 keeps the probe ball a
     # meaningful fraction of the small test corpus; plan pruning
     # (PartitionFilters + In(_sig) pushdown) is asserted in tests.
+    import re
     import tempfile
 
     emb = _t(spark, sf, "embeddings")
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     rest = emb.where(F.col("vec_id") != 0)
-    path = tempfile.mkdtemp(prefix="sagan_lsh_idx_") + "/idx"
+    # Deterministic scratch path per (sf, nbits): write_lsh_index uses
+    # mode("overwrite"), so repeated driver runs reuse ONE directory
+    # instead of leaking a fresh mkdtemp per invocation.
+    sf_tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(tempfile.gettempdir(), f"sagan_lsh_idx_{sf_tag}_nb8", "idx")
     SIM.write_lsh_index(rest.where(F.col("vec_id") % 2 == 0), path, dim=len(q), nbits=8)
     SIM.append_to_lsh_index(rest.where(F.col("vec_id") % 2 == 1), path, dim=len(q), nbits=8)
     return SIM.lsh_index_topk(spark.read.parquet(path), q, k=10, nbits=8, radius=2)

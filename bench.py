@@ -190,7 +190,13 @@ def main() -> None:
             t0 = time.time()
             q = stream_pipeline.run_stream(
                 spark, tx_path, os.path.join(sdir, "out"), os.path.join(sdir, "ck"),
-                max_files_per_trigger=max(1, len(os.listdir(tx_path)) // 4),
+                max_files_per_trigger=max(
+                    1,
+                    # Count only data files: commit markers (_SUCCESS), .crc
+                    # sidecars, or subdirs would inflate the divisor and
+                    # drift the intended "4 micro-batches".
+                    len([f for f in os.listdir(tx_path) if f.endswith(".parquet")]) // 4,
+                ),
             )
             q.processAllAvailable()
             q.stop()

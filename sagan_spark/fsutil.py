@@ -35,15 +35,40 @@ def _fs(spark, path: str):
 
 
 def fs_write_text(spark, path: str, content: str) -> None:
-    """Atomically write a small text file: create ``<path>.tmp``, then
-    rename over the target."""
+    """Atomically write a small text file: create a uuid-suffixed temp
+    name (concurrent writers to the same directory cannot clobber each
+    other's temp), then rename over the target with
+    ``FileContext.rename(..., Options.Rename.OVERWRITE)`` — an atomic
+    replace with NO window in which the target is missing. A crash at any
+    point leaves either the old file or the new one, never neither (a
+    missing resume manifest would silently reprocess every unit).
+
+    Fallback (FileContext unavailable for the scheme): plain rename first
+    — it succeeds when the target doesn't exist, covering first writes
+    with no window at all — then delete+rename only if the target was in
+    the way."""
+    import uuid
+
     jvm, fs, hpath = _fs(spark, path)
-    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp." + uuid.uuid4().hex)
     out = fs.create(tmp, True)
     out.write(bytearray(content.encode("utf-8")))
     out.close()
-    fs.delete(hpath, False)
-    fs.rename(tmp, hpath)
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            hpath.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        opts = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, hpath, opts)
+    except Exception:
+        if not fs.rename(tmp, hpath):
+            fs.delete(hpath, False)
+            if not fs.rename(tmp, hpath):
+                fs.delete(tmp, False)
+                raise IOError(f"fs_write_text: rename to {path} failed")
 
 
 def fs_read_text(spark, path: str) -> str:

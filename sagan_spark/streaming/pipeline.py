@@ -234,14 +234,16 @@ def _make_dynamic_gate_fn(out_cols: list[str]):
     is the two-pass re-scan in engine/pipeline.run_dynamic).
 
     Streaming semantics are GO-FORWARD, like the reference's runtime
-    loader: a child alert emits iff its parent fired at an earlier arrival
-    position (earlier micro-batch, or earlier (ts, conv, turn) within this
-    batch). The batch two-pass re-scans the whole input once the parent
-    fires anywhere, so child events that ARRIVE before the parent's first
-    fire emit in batch but not in streaming — the same window-edge
-    divergence the reference has between a cold start and a long-running
-    daemon, documented rather than papered over (tested in
-    test_streaming_dynamic).
+    loader: a child alert emits iff its parent fired at an earlier OR
+    EQUAL arrival position (earlier micro-batch, earlier (ts, conv, turn)
+    within this batch, or the SAME (ts, conv, turn) — the parent sid is
+    sorted first at ties, so same-turn children DO emit, matching the
+    batch two-pass which always emits them). The batch two-pass re-scans
+    the whole input once the parent fires anywhere, so child events that
+    ARRIVE strictly before the parent's first fire emit in batch but not
+    in streaming — the same window-edge divergence the reference has
+    between a cold start and a long-running daemon, documented rather
+    than papered over (tested in test_streaming_dynamic).
 
     One stateful operator keyed by parent sid (cardinality = #dynamic
     parents; the slice is parent+child ALERTS only, so the narrow key is
@@ -255,7 +257,13 @@ def _make_dynamic_gate_fn(out_cols: list[str]):
         outs = []
         if parts:
             pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
-            pdf = pdf.sort_values(["ts", "conv_id", "turn_idx", "sid"], kind="mergesort")
+            # Semantic tie-break: at equal (ts, conv_id, turn_idx) the
+            # PARENT row sorts first (not whichever sid happens to be
+            # numerically smaller), so a child alert on the same turn as
+            # its parent's fire emits — exactly like the batch two-pass.
+            pdf = pdf.assign(_child=(pdf["sid"].astype("int64") != parent_sid)).sort_values(
+                ["ts", "conv_id", "turn_idx", "_child", "sid"], kind="mergesort"
+            ).drop(columns="_child")
             sid = pdf["sid"].to_numpy()
             keep = []
             for i in range(len(pdf)):

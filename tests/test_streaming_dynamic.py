@@ -139,6 +139,34 @@ def test_stream_dynamic_is_go_forward(spark, tmp_path):
     assert want == got | {("convC", 0, CHILD)}  # batch re-scan also gets the early one
 
 
+def test_stream_dynamic_same_turn_child_emits(spark, tmp_path):
+    """Parent and child alerts on the SAME (ts, conv, turn) — one event
+    matching both rules: the gate sorts the parent sid first at ties
+    (semantic tie-break, not numeric sid order), so the child emits,
+    matching the batch two-pass which always emits same-turn children.
+    The child sid is numerically LOWER than the parent's to prove the
+    old lexicographic-sid ordering would have dropped it."""
+    p2, c2 = 4300010, 4300005  # child sorts numerically BEFORE parent
+    rs = RuleSet(
+        (
+            Rule(sid=p2, msg="parent", sink="fast", contents=(ContentSpec("parenttrigger",),)),
+            Rule(
+                sid=c2,
+                msg="child",
+                sink="fast",
+                contents=(ContentSpec("childtrigger",),),
+                depends_on=p2,
+            ),
+        )
+    )
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write(os.path.join(d, "b0.parquet"), [("convE", 0, "parenttrigger childtrigger", 0)])
+    got = _stream_fired(spark, d, str(tmp_path / "o"), str(tmp_path / "ck"), rs)
+    want = _batch_fired(spark, d, rs)
+    assert got == want == {("convE", 0, p2), ("convE", 0, c2)}
+
+
 def test_stream_dynamic_parent_never_fires(spark, tmp_path):
     d = str(tmp_path / "in")
     os.makedirs(d)
