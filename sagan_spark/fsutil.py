@@ -71,12 +71,16 @@ def fs_write_text(spark, path: str, content: str) -> None:
                 raise IOError(f"fs_write_text: rename to {path} failed")
 
 
-def fs_read_text(spark, path: str) -> str:
+def fs_read_bytes(spark, path: str) -> bytes:
     jvm, fs, hpath = _fs(spark, path)
     stream = fs.open(hpath)
     baos = jvm.java.io.ByteArrayOutputStream()
     jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
-    return bytes(baos.toByteArray()).decode("utf-8")
+    return bytes(baos.toByteArray())
+
+
+def fs_read_text(spark, path: str) -> str:
+    return fs_read_bytes(spark, path).decode("utf-8")
 
 
 def fs_exists(spark, path: str) -> bool:

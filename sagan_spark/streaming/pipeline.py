@@ -360,7 +360,9 @@ def build_stream(
     restarts, so checkpoints written by the pre-unification per-domain
     layout cannot be resumed; restart those streams with a fresh
     checkpoint dir (the exactly-once batch=<id> sink layout is unaffected
-    and readable throughout)."""
+    and readable throughout). ``run_stream`` detects such checkpoints and
+    refuses with that message up front (check_checkpoint_layout) instead
+    of letting Spark fail with an opaque state-schema error."""
     from ..packaging import ensure_shipped
 
     ensure_shipped(spark)
@@ -561,6 +563,66 @@ def make_batch_writer(out_dir: str, sinks: tuple[str, ...]):
     return write_batch
 
 
+#: The key schema of the unified stateful operator — the ONLY layout this
+#: engine version can resume. Pre-unification checkpoints keyed their
+#: (single) stateful operator by the domain column directly (conv_id, or
+#: role/tool for tracked counters), and Spark cannot change a query's
+#: stateful-operator layout between restarts.
+_UNIFIED_KEY_COLS = ["_skind", "_skey"]
+
+
+def check_checkpoint_layout(spark: SparkSession, checkpoint_dir: str, has_stateful: bool) -> None:
+    """Refuse, LOUDLY and actionably, to resume a checkpoint whose
+    stateful-operator layout does not match this engine version — instead
+    of letting Spark surface an opaque state-schema/provider stack trace
+    minutes into the restart. Reads the state store's recorded key schema
+    (``state/0/<part>/_metadata/schema``: Java writeUTF framing around two
+    JSON struct strings — key schema first) through the Hadoop FS API, so
+    the guard fires on ``s3a://``/``hdfs://`` checkpoints too. The sink
+    legacy-layout guard in make_batch_writer got this treatment in r4;
+    this is the checkpoint twin."""
+    state_dir = checkpoint_dir.rstrip("/") + "/state/0"
+    try:
+        entries = fsutil.fs_listdir(spark, state_dir)
+    except FileNotFoundError:
+        return  # fresh checkpoint (or a previously stateless query)
+    for e in entries:
+        if not e.isdigit():
+            continue
+        schema_path = f"{state_dir}/{e}/_metadata/schema"
+        if not fsutil.fs_exists(spark, schema_path):
+            continue
+        raw = fsutil.fs_read_bytes(spark, schema_path)
+        i = raw.find(b"{")
+        if i < 0:
+            continue
+        key_schema, _ = json.JSONDecoder().raw_decode(raw[i:].decode("utf-8", "replace"))
+        names = [f["name"] for f in key_schema.get("fields", [])]
+        if not has_stateful:
+            raise RuntimeError(
+                f"checkpoint {checkpoint_dir} contains stateful-operator "
+                f"state (keyed by {names}) but the current ruleset has no "
+                "stateful rules — Spark cannot drop a stateful operator on "
+                "restart. Start this ruleset with a FRESH checkpoint dir "
+                "(the batch=<id> sink output remains readable throughout)."
+            )
+        if names != _UNIFIED_KEY_COLS:
+            raise RuntimeError(
+                f"checkpoint {checkpoint_dir} was written by a "
+                "pre-unification engine version: its stateful operator is "
+                f"keyed by {names}, but this version runs ONE unified "
+                f"operator keyed by {_UNIFIED_KEY_COLS}. Spark cannot "
+                "migrate stateful-operator layouts between restarts — "
+                "restart the stream with a FRESH checkpoint dir; the "
+                "exactly-once batch=<id> sink layout is unaffected and "
+                "stays readable (already-written batches are never "
+                "re-emitted once their source files are aged out of the "
+                "input directory, so point the fresh run at the unread "
+                "remainder)."
+            )
+        return  # found and validated one partition's schema — layouts agree
+
+
 def run_stream(
     spark: SparkSession,
     input_dir: str,
@@ -584,6 +646,8 @@ def run_stream(
     engine busy-loops empty batches; ``processAllAvailable()`` also never
     settles under pending timers, so TTL deployments should monitor via
     listeners/output instead."""
+    has_stateful = any(r.stateful or r.depends_on is not None for r in ruleset.rules)
+    check_checkpoint_layout(spark, checkpoint_dir, has_stateful)
     alerts = build_stream(
         spark, input_dir, ruleset, max_files_per_trigger, state_ttl_minutes,
         match_mode=match_mode, track_hwm_cap=track_hwm_cap,
