@@ -68,9 +68,11 @@ def _await_commit(ck: str, batch_id: int, deadline: float) -> None:
 
 def test_ttl_evicts_idle_conversation_state(spark, tmp_path):
     """convA sets the auth_fail bit, then idles past the TTL. Timer
-    eviction happens inside the next DATA batch for keys without data (a
-    processingTime trigger runs no empty batches — see run_stream note),
-    so f2 carries unrelated convB data to host the eviction; f3 then
+    eviction fires for keys with an expired timer and no data in a batch
+    — with timers pending Spark also schedules EMPTY batches continuously
+    (observed in test_stream_track_ttl_at_10k_keys), but this test doesn't
+    rely on that: f2 carries unrelated convB data to host the eviction
+    deterministically; f3 then
     carries convA's sudo turn plus a convC setter+checker sentinel that
     proves f3 was fully processed."""
     in_dir, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
