@@ -450,7 +450,10 @@ def append_to_ivf_index(new_emb: DataFrame, path: str, vec_col: str = "embedding
 def compact_ivf_index(spark, src: str, dst: str) -> None:
     """IVF twin of compact_lsh_index: one file per cell partition, and the
     centroid sidecar is carried over (an index without its centroids is
-    not loadable)."""
+    not loadable). When ivf_cell_stats shows post-append skew, prefer
+    compact-WITH-REFRESH instead: re-select + kmeans_refine centroids over
+    the full corpus and write_ivf_index fresh — carrying stale centroids
+    through a compaction preserves the imbalance."""
     import json
 
     (
@@ -481,3 +484,36 @@ def ivf_index_topk(
     — no assignment scan at query time."""
     pruned = index.where(F.col("_cell").isin(_probe_cells(q, cents, nprobe))).drop("_cell")
     return brute_topk(pruned, q, k, id_col, vec_col)
+
+
+def ivf_cell_stats(index: DataFrame, ncentroids: int | None = None) -> DataFrame:
+    """Cell-balance observability — the IVF twin of dedup.lsh_bucket_stats
+    ('no silent caps'/'no silent skew'): one row with cell count, total
+    rows, min/max/avg cell size, and ``skew`` = max/avg. Pass the index's
+    ``ncentroids`` to also report ``empty_cells`` (centroids that own no
+    vectors — dead cells waste probe budget).
+
+    WHY this matters for append maintenance: append_to_ivf_index assigns
+    deltas against the index's FROZEN centroid sidecar, so a drifting
+    corpus piles new vectors into few cells — query cost for a probed hot
+    cell approaches a brute scan while cold cells waste nprobe slots.
+    Watch ``skew`` (and ``empty_cells``) after appends; the maintenance
+    answer is compact-WITH-REFRESH: re-run select_centroids +
+    kmeans_refine over the full compacted corpus and write_ivf_index to a
+    fresh path (then atomic-swap, as compact_lsh_index documents) — NOT a
+    silent reassignment of only the delta. One groupBy on the (already
+    cell-partitioned) index: map-side combine, no wide shuffle."""
+    per = index.groupBy("_cell").agg(F.count("*").alias("n"))
+    agg = per.agg(
+        F.count("*").alias("cells"),
+        F.sum("n").cast("long").alias("rows"),
+        F.min("n").cast("long").alias("min_cell"),
+        F.max("n").cast("long").alias("max_cell"),
+        F.round(F.avg("n"), 2).alias("avg_cell"),
+        F.round(F.max("n") / F.avg("n"), 3).alias("skew"),
+    )
+    if ncentroids is not None:
+        agg = agg.withColumn(
+            "empty_cells", (F.lit(ncentroids) - F.col("cells")).cast("long")
+        )
+    return agg

@@ -553,3 +553,41 @@ def test_parse_image_header_png_gif_and_fallback():
     assert MM.parse_image_header(gif) == (320, 200)
     assert MM.parse_image_header(b"not an image at all") is None
     assert MM.parse_image_header(b"\x89PNG") is None  # truncated header
+
+
+def test_ivf_cell_stats_surfaces_post_append_drift(spark, emb, tmp_path):
+    """Cell-balance observability: stats on a fresh index are exact
+    (rows, cells, sizes consistent), and appending a drifted delta —
+    every new vector assigned against the FROZEN sidecar centroids into
+    whichever cells they fall — raises max_cell/skew, which is the signal
+    to compact-with-refresh (re-run centroid selection + kmeans_refine)."""
+    old = emb.where(F.col("vec_id") < 300)
+    cents = SIM.select_centroids(old, 8)
+    path = str(tmp_path / "ivf_stats")
+    SIM.write_ivf_index(old, path, cents)
+    idx, _ = SIM.read_ivf_index(spark, path)
+    s0 = SIM.ivf_cell_stats(idx, ncentroids=8).first()
+    assert s0.rows == 300
+    assert 1 <= s0.cells <= 8
+    assert s0.cells + s0.empty_cells == 8
+    assert s0.min_cell >= 1 and s0.max_cell <= 300
+    assert abs(s0.avg_cell - 300 / s0.cells) < 0.01
+    assert s0.skew == pytest.approx(s0.max_cell / s0.avg_cell, abs=0.001)
+
+    # drifted delta: 100 copies of ONE existing vector -> they all land in
+    # a single cell, so max_cell grows by 100 and skew strictly rises
+    one = emb.where(F.col("vec_id") == 5).first()
+    drift = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(1000, 1100),
+                "embedding": [list(one.embedding)] * 100,
+                "label": [0] * 100,
+            }
+        )
+    )
+    SIM.append_to_ivf_index(drift, path)
+    s1 = SIM.ivf_cell_stats(spark.read.parquet(path), ncentroids=8).first()
+    assert s1.rows == 400
+    assert s1.max_cell >= s0.max_cell + 100
+    assert s1.skew > s0.skew
