@@ -88,6 +88,16 @@ def _replay_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.DataF
     counters: dict = {}
     bits: dict[str, tuple[float, float | None]] = {}  # bit -> (set_ts, expire)
     cur_conv: str | None = None
+    # Correctness guard: state resets on conv CHANGE, so each conv's rows
+    # must be one contiguous sorted run. A revisited conv means the
+    # partition was NOT (conv_id, turn)-sorted — seen in the wild when
+    # Spark's auto-bucketed-scan fallback elided the conv_id exchange but
+    # read plain file splits (session.py conf note) — and silently
+    # fragmenting per-conv state is the one failure mode worse than
+    # crashing. (A conv split ACROSS partitions with each fragment
+    # contiguous is not detectable here; the session conf closes the
+    # known cause.)
+    seen_convs: set = set()
 
     i = 0
     while i < m:
@@ -97,6 +107,17 @@ def _replay_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.DataF
         while j < m and conv[idxs[j]] == conv[idxs[i]] and turn[idxs[j]] == turn[idxs[i]]:
             j += 1
         if conv[idxs[i]] != cur_conv:
+            if cur_conv is not None:
+                seen_convs.add(cur_conv)
+            if conv[idxs[i]] in seen_convs:
+                raise RuntimeError(
+                    f"replay partition is not conv-contiguous: conversation "
+                    f"{conv[idxs[i]]!r} reappears after other conversations. "
+                    "The input partition lost its (conv_id, turn_idx) sort — "
+                    "if reading a bucketed table, keep "
+                    "spark.sql.sources.bucketing.autoBucketedScan.enabled="
+                    "false (engine default, see session.py)."
+                )
             counters = {}
             bits = {}
             cur_conv = conv[idxs[i]]
@@ -154,8 +175,17 @@ def _replay_tracked_sorted(
     fires = ~tracked
     counters: dict[int, tuple[float, int]] = {}  # per current role: sid -> (ws, cnt)
     cur_key: object = _UNSET
+    seen_keys: set = set()  # same non-contiguity guard as _replay_sorted
     for k in np.flatnonzero(tracked):
         if key[k] != cur_key:
+            if cur_key is not _UNSET:
+                seen_keys.add(cur_key)
+            if key[k] in seen_keys:
+                raise RuntimeError(
+                    f"track replay partition is not key-contiguous: "
+                    f"{key_col}={key[k]!r} reappears after other keys — "
+                    "the partition lost its sort (see _replay_sorted guard)."
+                )
             counters = {}
             cur_key = key[k]
         rule = rules_by_sid[int(sid[k])]

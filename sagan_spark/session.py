@@ -48,6 +48,17 @@ def default_conf() -> dict[str, str]:
             "SPARK_GRAFT_ARROW_BATCH", "32768"
         ),
         "spark.sql.session.timeZone": "UTC",
+        # Bucketed transcript tables (the 10^12-turn bucket(N, conv_id)
+        # layout) must be READ bucketed whenever their partitioning can
+        # elide the replay's conv_id exchange. With autoBucketedScan ON
+        # (Spark default) we observed the planner fall back to plain file
+        # splits ("Bucketed: false (disabled by query planner)") while
+        # STILL eliding repartition(conv_id) — splitting conversations
+        # across replay partitions and silently corrupting stateful
+        # correlation (caught by tests/test_bucketed_layout.py; the replay
+        # now also guards non-contiguous input). Forcing bucketed reads is
+        # the safe default for this engine; scan cost is unchanged.
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
         # parquet scans: keep split sizes sane for local runs; on a cluster the
         # default 128m is right for 100TB scans.
         "spark.sql.files.maxPartitionBytes": "134217728",

@@ -1,0 +1,135 @@
+"""Bucketed-table shuffle elimination — the measured version of
+docs/SCALE.md's 10^12-turn layout claim (bucket(N, conv_id)): with the
+input stored bucketed by conv_id, the conv-keyed stateful replay needs NO
+Exchange — the scan's HashPartitioning(conv_id) satisfies the replay's
+ClusteredDistribution end-to-end. Verified here with Spark native
+bucketing (same planner mechanics Iceberg's bucket transform engages on a
+real cluster; the iceberg jar itself is absent in this sandbox, io.py).
+
+Scope, honestly: partitioning survives only through PURE-COLUMN stages.
+A MapInPandas node reports UnknownPartitioning (probed empirically), so
+the fused match mode — one Python crossing for the candidate slice —
+always re-inserts the exchange. The exchange-free plan is real for the
+all-native-rule regime via match_mode="hybrid" (native rules explode
+JVM-side); with Python-path rules the exchange returns but only ever
+moves the matched ~1% slice. Both facts asserted below.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sagan_spark.rules.model import AfterSpec, ContentSpec, Rule, RuleSet
+
+NATIVE_RS = RuleSet(
+    (
+        Rule(
+            sid=4600001,
+            msg="retry storm",
+            sink="fast",
+            contents=(ContentSpec("retry",),),
+            after=AfterSpec(track="conv_id", count=2, seconds=100_000),
+        ),
+        Rule(sid=4600002, msg="plain err", sink="eve", contents=(ContentSpec("error",),)),
+    )
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    """The same transcripts as a plain parquet dir AND a conv_id-bucketed
+    table (8 buckets, sorted by conv_id, turn_idx — the SCALE.md layout)."""
+    from sagan_spark.datagen.transcripts import gen_chunk
+
+    plain = str(tmp_path_factory.mktemp("bkt") / "plain")
+    pdf = gen_chunk(0, 400, seed=9, hot_cap=500)
+    df = spark.createDataFrame(pdf)
+    df.write.mode("overwrite").parquet(plain)
+    spark.sql("DROP TABLE IF EXISTS tx_bucketed_test")
+    (
+        df.write.bucketBy(8, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .mode("overwrite")
+        .saveAsTable("tx_bucketed_test")
+    )
+    yield plain, "tx_bucketed_test"
+    spark.sql("DROP TABLE IF EXISTS tx_bucketed_test")
+
+
+def _n_conv_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange hashpartitioning(conv_id")
+
+
+def _alerts(spark, src, match_mode):
+    from sagan_spark.engine.pipeline import build_alerts
+
+    return build_alerts(spark, src, NATIVE_RS, match_mode=match_mode)
+
+
+def test_bucketed_scan_eliminates_replay_exchange(spark, bucketed):
+    plain, table = bucketed
+    bdf = _alerts(spark, spark.table(table), "hybrid")
+    pdf_plan = _alerts(spark, spark.read.parquet(plain), "hybrid")
+    assert _n_conv_exchanges(bdf) == 0, "bucketed all-native plan still shuffles"
+    assert _n_conv_exchanges(pdf_plan) >= 1, "plain-parquet plan lost its exchange?"
+    # The exchange elision is only SOUND if the scan actually reads
+    # bucketed. Spark's autoBucketedScan can fall back to plain file
+    # splits while the elision stands — splitting conversations across
+    # replay partitions (observed; corrupts stateful state). session.py
+    # pins autoBucketedScan off; this assertion pins the pin.
+    plan = bdf._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan[:2000]
+
+
+def test_bucketed_and_plain_outputs_equal(spark, bucketed):
+    plain, table = bucketed
+    rows = lambda df: sorted(  # noqa: E731
+        (r.conv_id, int(r.turn_idx), int(r.sid))
+        for r in df.select("conv_id", "turn_idx", "sid").collect()
+    )
+    got_b = rows(_alerts(spark, spark.table(table), "hybrid"))
+    got_p = rows(_alerts(spark, spark.read.parquet(plain), "hybrid"))
+    assert got_b == got_p and len(got_b) > 0
+
+
+def test_fused_mode_python_stage_reinserts_exchange(spark, bucketed):
+    """Documented limitation: the fused mode's single mapInPandas crossing
+    reports UnknownPartitioning, so even a bucketed scan shuffles before
+    the replay — the exchange moves only the matched slice, but bucketed
+    deployments of all-native rule sets should choose hybrid."""
+    _, table = bucketed
+    fused = _alerts(spark, spark.table(table), "fused")
+    assert _n_conv_exchanges(fused) >= 1
+    # equality across modes still holds on the bucketed input
+    rows = lambda df: sorted(  # noqa: E731
+        (r.conv_id, int(r.turn_idx), int(r.sid))
+        for r in df.select("conv_id", "turn_idx", "sid").collect()
+    )
+    assert rows(fused) == rows(_alerts(spark, spark.table(table), "hybrid"))
+
+
+def test_replay_guard_refuses_non_contiguous_partition():
+    """The replay resets per-conversation state on conv change, so a
+    partition where a conversation REAPPEARS after others (lost sort —
+    exactly what the auto-bucketed-scan fallback produced) must raise the
+    engine's loud error, never silently fragment counters."""
+    import pandas as pd
+
+    from sagan_spark.engine.correlate import _replay_sorted, _replay_tracked_sorted
+
+    rule = NATIVE_RS.rules[0]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b", "a"],  # 'a' reappears after 'b'
+            "turn_idx": pd.array([0, 1, 0, 2], dtype="int32"),
+            "sid": pd.array([rule.sid] * 4, dtype="int64"),
+            "tool": ["none"] * 4,
+            "ts": pd.Series(pd.to_datetime(["2025-01-01"] * 4)).astype("datetime64[us]"),
+        }
+    )
+    with pytest.raises(RuntimeError, match="not conv-contiguous"):
+        _replay_sorted({rule.sid: rule}, pdf)
+    roles = pdf.assign(role=["r1", "r1", "r2", "r1"])
+    with pytest.raises(RuntimeError, match="not key-contiguous"):
+        _replay_tracked_sorted({rule.sid: rule}, roles, "role")
