@@ -123,7 +123,14 @@ def main() -> None:
     if os.path.exists(_exp_path):
         with open(_exp_path) as f:
             _exp = json.load(f)
-        if _exp.get("cpus") == cpus:  # references are parallelism-specific
+        # references are workload-specific: wrong cpus / table size / sf
+        # would flag every leg and burn retries (e.g. the 100M-turn
+        # scaling ladder reuses this harness via SAGAN_BENCH_CONVS)
+        if (
+            _exp.get("cpus") == cpus
+            and _exp.get("convs", 15000) == n_convs
+            and str(_exp.get("sf", "0.1")) == sf_dir.rstrip("/").split("sf")[-1]
+        ):
             expected = _exp
     extras["noise_probe_quiet_s"] = expected.get("noise_probe_s")
 

@@ -49,7 +49,7 @@ def run_once(cpus: int) -> tuple[float, dict]:
         env=env,
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=3600,
     )
     line = p.stdout.strip().splitlines()[-1]
     out = json.loads(line)
