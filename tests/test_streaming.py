@@ -94,6 +94,51 @@ def test_stream_hybrid_mode_equals_fused(spark, split_input, tmp_path):
     assert rows["fused"] == rows["hybrid"] and rows["fused"]
 
 
+def test_stream_rocksdb_state_store_equals_default(spark, split_input, tmp_path):
+    """The unified stateful operator must run unchanged on the RocksDB state
+    store (the production backend for large state at 100 TB — the default
+    HDFS-backed store keeps every version of every key in executor heap).
+    Config-only swap; alert set must equal the batch pipeline's exactly.
+    Measured at bench scale (BENCH/TUNING.md r5): throughput is WITHIN
+    NOISE of the default here, because the per-batch floor is Python
+    round trips + sink commits, not state-store IO — the point of this
+    test is compatibility, not speed."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = str(tmp_path / "rocks_out")
+        q = stream_pipeline.run_stream(
+            spark, split_input, out, str(tmp_path / "rocks_ck"), max_files_per_trigger=1
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+    got = set()
+    for sink in ("fast", "eve", "syslog", "unified2"):
+        p = os.path.join(out, sink)
+        if os.path.exists(p):
+            got |= {
+                (r.conv_id, r.turn_idx, r.sid)
+                for r in spark.read.parquet(p).select("conv_id", "turn_idx", "sid").collect()
+            }
+    ref = batch_pipeline.run(spark, split_input)
+    want = {
+        (r.conv_id, r.turn_idx, r.sid)
+        for r in ref.alerts.select("conv_id", "turn_idx", "sid").collect()
+    }
+    ref.unpersist()
+    assert got == want and got
+
+
 def test_stream_state_crosses_batches(spark, split_input, tmp_path):
     """The flexbit rule (sid 1000012) must fire for at least one pair whose
     setter ('login failed') arrived in micro-batch 1 and checker ('sudo')
