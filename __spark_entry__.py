@@ -542,11 +542,20 @@ def q_ann_lsh_index_topk(spark, sf):  # repeated-query scale path: the
     emb = _t(spark, sf, "embeddings")
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     rest = emb.where(F.col("vec_id") != 0)
-    # Deterministic scratch path per (sf, nbits): write_lsh_index uses
+    # Deterministic scratch path per (uid, sf, nbits): write_lsh_index uses
     # mode("overwrite"), so repeated driver runs reuse ONE directory
-    # instead of leaking a fresh mkdtemp per invocation.
+    # instead of leaking a fresh mkdtemp per invocation. The per-uid
+    # mode-0700 parent keeps the otherwise world-predictable /tmp name
+    # unsquattable and two users' concurrent runs disjoint (two drivers of
+    # the SAME uid on the same sf remain a documented serialize-yourself
+    # constraint, as with any shared index path).
     sf_tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf.rstrip("/").rsplit("/", 1)[-1])
-    path = os.path.join(tempfile.gettempdir(), f"sagan_lsh_idx_{sf_tag}_nb8", "idx")
+    parent = os.path.join(tempfile.gettempdir(), f"sagan_scratch_u{os.getuid()}")
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    if os.path.islink(parent) or os.stat(parent).st_uid != os.getuid():
+        raise RuntimeError(f"scratch dir {parent} squatted (symlink/foreign owner)")
+    os.chmod(parent, 0o700)  # exist_ok=True skips mode on a pre-existing dir
+    path = os.path.join(parent, f"lsh_idx_{sf_tag}_nb8", "idx")
     SIM.write_lsh_index(rest.where(F.col("vec_id") % 2 == 0), path, dim=len(q), nbits=8)
     SIM.append_to_lsh_index(rest.where(F.col("vec_id") % 2 == 1), path, dim=len(q), nbits=8)
     return SIM.lsh_index_topk(spark.read.parquet(path), q, k=10, nbits=8, radius=2)

@@ -13,7 +13,7 @@ same role is played by a ``sagan_spark.yaml`` consumed by
       - rules/base.rules
       - rules/extra.rules
     engine:
-      match_mode: fused               # fused | hybrid | udf
+      match_mode: auto                # auto | fused | hybrid | udf
       fold_dims: true
       shuffle_partitions: 4096
       state_ttl_minutes: 30           # streaming state eviction
@@ -43,7 +43,7 @@ class PipelineConfig:
     mode: str = "batch"  # batch | resumable | stream | dynamic
     rules: tuple[str, ...] = ()  # .rules file paths; empty -> CANONICAL
     # engine: section
-    match_mode: str = "fused"
+    match_mode: str = "auto"
     fold_dims: bool = True
     shuffle_partitions: int | None = None
     master: str | None = None
@@ -58,7 +58,7 @@ class PipelineConfig:
     def __post_init__(self) -> None:
         if self.mode not in ("batch", "resumable", "stream", "dynamic"):
             raise ValueError(f"unknown mode {self.mode!r}")
-        if self.match_mode not in ("fused", "hybrid", "udf"):
+        if self.match_mode not in ("auto", "fused", "hybrid", "udf"):
             raise ValueError(f"unknown match_mode {self.match_mode!r}")
 
 

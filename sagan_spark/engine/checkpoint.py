@@ -107,7 +107,7 @@ def run_resumable(
     files_per_unit: int = 1,
     max_units: int | None = None,
     fold_dims: bool = True,
-    match_mode: str = "fused",
+    match_mode: str = "auto",
 ) -> ResumableResult:
     """Process input units not yet marked done; write per-sink parquet under
     ``out_dir/sinks/<sink>/unit=<uid>`` and update the manifest after each

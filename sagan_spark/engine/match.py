@@ -601,6 +601,12 @@ def run_match(
     mode="udf": single scan, every rule evaluated in the vectorized UDF —
     the fallback when rules are mostly non-native.
     """
+    if mode not in ("fused", "hybrid", "udf"):
+        # "auto" must be resolved by the caller (pipeline.resolve_match_mode)
+        # BEFORE reaching here — hybrid is the fallthrough branch below, and
+        # an unknown mode silently becoming a two-scan plan is the kind of
+        # default drift this engine refuses.
+        raise ValueError(f"unknown match mode {mode!r}")
     dims = _get_dims(fold_dims)
     prepared = _prepare(df)
     if mode == "udf":

@@ -21,6 +21,7 @@ branches).
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 
 from pyspark import StorageLevel
@@ -32,6 +33,79 @@ from ..rules.canonical import CANONICAL
 from ..rules.model import RuleSet
 from . import correlate, enrich, match, route
 from .. import io as iomod
+
+
+logger = logging.getLogger("sagan_spark.pipeline")
+
+
+def _scan_bucketed_by(df: DataFrame, col: str) -> bool:
+    """True iff EVERY leaf relation of ``df``'s plan is a file scan bucketed
+    by exactly ``[col]`` (Spark native bucketing — the same planner
+    distribution Iceberg's bucket transform provides on a real cluster).
+    With ``autoBucketedScan`` pinned off (session.py) a bucketed relation
+    is always read bucketed, so the scan's HashPartitioning(col) is real.
+    Detection failure of any kind returns False (callers fall back to the
+    shuffle-inserting plan, which is always correct)."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        n = leaves.size()
+        if n == 0:
+            return False
+        for i in range(n):
+            try:
+                spec = leaves.apply(i).relation().bucketSpec()
+                if not spec.isDefined():
+                    return False
+                cols = spec.get().bucketColumnNames()
+                if cols.size() != 1 or cols.apply(0) != col:
+                    return False
+            except Exception:
+                return False  # non-file leaf (e.g. LocalRelation): no buckets
+        return True
+    except Exception:
+        return False
+
+
+def resolve_match_mode(
+    input_df: DataFrame, ruleset: RuleSet, match_mode: str = "auto"
+) -> str:
+    """Resolve ``match_mode="auto"`` to a concrete plan.
+
+    auto → "hybrid" iff every rule is native-compilable AND the input scan
+    is bucketed by conv_id: the all-native hybrid plan is a SINGLE scan
+    with zero Python stages before the replay (native rules explode
+    JVM-side), so the scan's bucket partitioning survives to the conv_id
+    replay and the Exchange is elided entirely — the measured 100-TB
+    headline plan (tests/test_bucketed_layout.py, docs/SCALE.md). The
+    fused mode's MapInPandas reports UnknownPartitioning and always
+    re-inserts that exchange, so on a bucketed table defaults would
+    silently pay a shuffle the engine can provably skip.
+
+    auto → "fused" otherwise (any Python-path rule, or an unbucketed
+    scan): one scan, JVM candidate pruning, one Arrow crossing — the
+    scan-dominated default measured in BENCH/BASELINE.md.
+
+    An EXPLICIT mode is honored as given; if it leaves the elision on the
+    table (fused/udf on a bucketed all-native workload) a log line says
+    so rather than second-guessing the caller.
+    """
+    all_native = all(match.native_compilable(r) for r in ruleset.rules)
+    if match_mode != "auto":
+        if all_native and match_mode != "hybrid" and _scan_bucketed_by(input_df, "conv_id"):
+            logger.info(
+                "input is bucketed by conv_id and every rule is native-"
+                "compilable: match_mode='hybrid' (or 'auto') would elide "
+                "the conv_id exchange entirely; explicit %r keeps it",
+                match_mode,
+            )
+        return match_mode
+    if all_native and _scan_bucketed_by(input_df, "conv_id"):
+        logger.info(
+            "auto match_mode → 'hybrid': bucketed conv_id scan + all-native "
+            "rules, replay exchange elided"
+        )
+        return "hybrid"
+    return "fused"
 
 
 @dataclass
@@ -59,7 +133,7 @@ def build_alerts(
     fold_dims: bool = True,
     correlate_scope: str = "linear",
     persist_intermediate: bool = False,
-    match_mode: str = "fused",
+    match_mode: str = "auto",
 ) -> DataFrame:
     """The alert DataFrame (lazy).
 
@@ -78,6 +152,7 @@ def build_alerts(
     from ..packaging import ensure_shipped
 
     ensure_shipped(spark)
+    match_mode = resolve_match_mode(input_df, ruleset, match_mode)
     matched = match.run_match(input_df, ruleset, fold_dims=fold_dims, mode=match_mode)
     enriched = enrich.attach_dims(
         matched,
@@ -117,7 +192,7 @@ def run(
     out_dir: str | None = None,
     fold_dims: bool = True,
     count_input: bool = False,
-    match_mode: str = "fused",
+    match_mode: str = "auto",
 ) -> PipelineResult:
     """Execute the pipeline.
 
@@ -128,7 +203,8 @@ def run(
     """
     from pyspark.sql import Observation
 
-    df = iomod.read_table(spark, input_path, columns=iomod.TRANSCRIPT_COLUMNS)
+    raw = iomod.read_table(spark, input_path, columns=iomod.TRANSCRIPT_COLUMNS)
+    df = raw
     # input-side metrics ride the same action (zero extra jobs): rows in,
     # approx distinct conversations, time span — the stats-json analogue
     obs_in = Observation()  # unnamed → unique (plans may be unioned, e.g. run_dynamic)
@@ -156,7 +232,23 @@ def run(
         got = obs.get
         res.sink_counts = {s: got[f"sink_{s}"] for s in sinks if got[f"sink_{s}"]}
         res.sid_counts = {s: got[f"sid_{s}"] for s in sids if got[f"sid_{s}"]}
-        res.metrics = dict(obs_in.get)
+        try:
+            res.metrics = dict(obs_in.get)
+        except Exception:
+            # With an ALL-empty input, AQE's empty-relation propagation can
+            # prune the input-side CollectMetrics node out of the executed
+            # plan entirely — the observation never fires and its JVM row
+            # cannot convert (found by the empty-input verify probe; the
+            # root-level alerts observation above is never pruned). Fall
+            # back to aggregating the same metrics directly: one extra tiny
+            # job, and only on the degenerate inputs that trigger this.
+            r = raw.agg(  # raw, not df: an Observation is single-use
+                F.count(F.lit(1)).alias("rows_in"),
+                F.approx_count_distinct("conv_id").alias("convs_approx"),
+                F.min("ts").alias("ts_min"),
+                F.max("ts").alias("ts_max"),
+            ).first()
+            res.metrics = r.asDict()
         res.metrics["alerts"] = got["alerts"] or 0
     else:
         alerts = alerts.persist(StorageLevel.MEMORY_AND_DISK)
@@ -175,7 +267,7 @@ def run_dynamic(
     ruleset: RuleSet = CANONICAL,
     out_dir: str | None = None,
     fold_dims: bool = True,
-    match_mode: str = "fused",
+    match_mode: str = "auto",
 ) -> PipelineResult:
     """C7 depends_on / dynamic rules ([PUB src/processors/dynamic-rules.c]),
     two-pass batch semantics: pass 1 runs all independent rules; a dependent

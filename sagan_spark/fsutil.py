@@ -54,6 +54,14 @@ def fs_write_text(spark, path: str, content: str) -> None:
     out = fs.create(tmp, True)
     out.write(bytearray(content.encode("utf-8")))
     out.close()
+    # Obtaining a FileContext is the only fallback-eligible failure
+    # (UnsupportedFileSystemException for schemes without an AbstractFileSystem
+    # binding). An error from the rename CALL itself is ambiguous — the
+    # rename may have committed before the error surfaced, in which case the
+    # temp file is gone and a blind delete-target-and-retry fallback would
+    # delete the freshly-written file and then fail, leaving NO file on disk
+    # (the exact window this helper exists to close).
+    fc = opts = None
     try:
         fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
             hpath.toUri(), spark._jsc.hadoopConfiguration()
@@ -62,13 +70,26 @@ def fs_write_text(spark, path: str, content: str) -> None:
             jvm.org.apache.hadoop.fs.Options.Rename, 1
         )
         opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-        fc.rename(tmp, hpath, opts)
     except Exception:
+        fc = None
+    if fc is not None:
+        try:
+            fc.rename(tmp, hpath, opts)
+            return
+        except Exception:
+            if not fs.exists(tmp):
+                if fs.exists(hpath):
+                    return  # rename committed, then the error surfaced
+                raise
+            # temp verifiably still present → safe to take the FS path
+    if not fs.rename(tmp, hpath):
+        # Never delete the target unless the temp is confirmed present —
+        # with tmp gone there is nothing to replace it with.
+        if not fs.exists(tmp):
+            raise IOError(f"fs_write_text: temp file lost renaming to {path}")
+        fs.delete(hpath, False)
         if not fs.rename(tmp, hpath):
-            fs.delete(hpath, False)
-            if not fs.rename(tmp, hpath):
-                fs.delete(tmp, False)
-                raise IOError(f"fs_write_text: rename to {path} failed")
+            raise IOError(f"fs_write_text: rename to {path} failed")
 
 
 def fs_read_bytes(spark, path: str) -> bytes:

@@ -349,7 +349,7 @@ def build_stream(
     ruleset: RuleSet = CANONICAL,
     max_files_per_trigger: int = 1,
     state_ttl_minutes: int | None = None,
-    match_mode: str = "fused",
+    match_mode: str = "auto",
     track_hwm_cap: int = 100_000,
 ) -> DataFrame:
     """The streaming alert DataFrame (unstarted query).
@@ -366,6 +366,11 @@ def build_stream(
     from ..packaging import ensure_shipped
 
     ensure_shipped(spark)
+    if match_mode == "auto":
+        # the batch auto rule (bucketed scan + all-native → hybrid) never
+        # applies to a file stream: micro-batch scans carry no bucket
+        # partitioning, so the fused single-crossing plan is always right
+        match_mode = "fused"
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -581,11 +586,35 @@ def check_checkpoint_layout(spark: SparkSession, checkpoint_dir: str, has_statef
     the guard fires on ``s3a://``/``hdfs://`` checkpoints too. The sink
     legacy-layout guard in make_batch_writer got this treatment in r4;
     this is the checkpoint twin."""
-    state_dir = checkpoint_dir.rstrip("/") + "/state/0"
+    ck = checkpoint_dir.rstrip("/")
+    state_dir = ck + "/state/0"
     try:
         entries = fsutil.fs_listdir(spark, state_dir)
     except FileNotFoundError:
-        return  # fresh checkpoint (or a previously stateless query)
+        # No state dir. Fresh checkpoint → fine. But a checkpoint with
+        # COMMITTED batches and no state was written by a STATELESS query:
+        # Spark cannot ADD a stateful operator on restart any more than it
+        # can drop one, and fails opaquely later — the inverse of the
+        # has_stateful=False case below. (offsets-only with no commits =
+        # a stateful query interrupted before its first commit; batch 0
+        # replays from scratch, resume is legitimate.)
+        if has_stateful:
+            try:
+                committed = any(
+                    c.isdigit() for c in fsutil.fs_listdir(spark, ck + "/commits")
+                )
+            except FileNotFoundError:
+                committed = False
+            if committed:
+                raise RuntimeError(
+                    f"checkpoint {checkpoint_dir} was written by a STATELESS "
+                    "query (committed batches, no state store) but the "
+                    "current ruleset has stateful rules — Spark cannot add "
+                    "a stateful operator on restart. Start this ruleset "
+                    "with a FRESH checkpoint dir (the batch=<id> sink "
+                    "output remains readable throughout)."
+                )
+        return
     for e in entries:
         if not e.isdigit():
             continue
@@ -593,10 +622,26 @@ def check_checkpoint_layout(spark: SparkSession, checkpoint_dir: str, has_statef
         if not fsutil.fs_exists(spark, schema_path):
             continue
         raw = fsutil.fs_read_bytes(spark, schema_path)
-        i = raw.find(b"{")
-        if i < 0:
-            continue
-        key_schema, _ = json.JSONDecoder().raw_decode(raw[i:].decode("utf-8", "replace"))
+        # The schema file is Java writeUTF framing around two JSON struct
+        # strings (key schema first). Rather than reverse-engineering every
+        # framing version, try each '{' until one parses as a struct: a
+        # framing length byte that happens to equal 0x7b ('{', schema length
+        # ≡ 123 mod 256) makes the FIRST brace garbage — an uncaught
+        # JSONDecodeError would crash the valid resume this guard protects.
+        key_schema = None
+        text = raw.decode("utf-8", "replace")
+        j = text.find("{")
+        while j >= 0:
+            try:
+                cand, _ = json.JSONDecoder().raw_decode(text[j:])
+            except json.JSONDecodeError:
+                cand = None
+            if isinstance(cand, dict) and isinstance(cand.get("fields"), list):
+                key_schema = cand
+                break
+            j = text.find("{", j + 1)
+        if key_schema is None:
+            continue  # unreadable schema framing → fail open on this partition
         names = [f["name"] for f in key_schema.get("fields", [])]
         if not has_stateful:
             raise RuntimeError(
@@ -620,7 +665,13 @@ def check_checkpoint_layout(spark: SparkSession, checkpoint_dir: str, has_statef
                 "input directory, so point the fresh run at the unread "
                 "remainder)."
             )
-        return  # found and validated one partition's schema — layouts agree
+        # Found and validated one partition's schema — layouts agree.
+        # Checking operator 0 only is CORRECT because this engine runs
+        # exactly ONE stateful operator per query (Spark refuses multiple
+        # applyInPandasWithStates; see the CLAUDE.md invariant — extend the
+        # unified dispatch, never add a second operator). If that invariant
+        # ever changes, extend this guard to state/<op> for every operator.
+        return
 
 
 def run_stream(
@@ -632,7 +683,7 @@ def run_stream(
     max_files_per_trigger: int = 1,
     state_ttl_minutes: int | None = None,
     trigger_processing_time: str | None = None,
-    match_mode: str = "fused",
+    match_mode: str = "auto",
     track_hwm_cap: int = 100_000,
 ):
     """Start the streaming pipeline; per-sink fan-out via foreachBatch

@@ -10,9 +10,11 @@ Scope, honestly: partitioning survives only through PURE-COLUMN stages.
 A MapInPandas node reports UnknownPartitioning (probed empirically), so
 the fused match mode — one Python crossing for the candidate slice —
 always re-inserts the exchange. The exchange-free plan is real for the
-all-native-rule regime via match_mode="hybrid" (native rules explode
-JVM-side); with Python-path rules the exchange returns but only ever
-moves the matched ~1% slice. Both facts asserted below.
+all-native-rule regime via the hybrid plan (native rules explode
+JVM-side) — and since r6 the DEFAULT match_mode="auto" selects it
+whenever the scan is bucketed by conv_id and every rule is native
+(pipeline.resolve_match_mode); with Python-path rules the exchange
+returns but only ever moves the matched ~1% slice. All asserted below.
 """
 
 from __future__ import annotations
@@ -107,6 +109,63 @@ def test_fused_mode_python_stage_reinserts_exchange(spark, bucketed):
         for r in df.select("conv_id", "turn_idx", "sid").collect()
     )
     assert rows(fused) == rows(_alerts(spark, spark.table(table), "hybrid"))
+
+
+def test_auto_mode_defaults_to_exchange_free_plan_on_bucketed(spark, bucketed):
+    """r6: the DEFAULT pipeline (match_mode='auto') must pick the measured
+    zero-shuffle plan itself when it is sound — bucketed conv_id scan +
+    all-native rules — instead of hiding it behind an explicit mode."""
+    from sagan_spark.engine.pipeline import build_alerts
+
+    plain, table = bucketed
+    auto_b = build_alerts(spark, spark.table(table), NATIVE_RS)  # default mode
+    assert _n_conv_exchanges(auto_b) == 0, "auto on bucketed input still shuffles"
+    plan = auto_b._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    # plain parquet stays on the fused single-scan default (exchange present)
+    auto_p = build_alerts(spark, spark.read.parquet(plain), NATIVE_RS)
+    assert _n_conv_exchanges(auto_p) >= 1
+    # and the auto plan's output is identical to both explicit modes
+    rows = lambda df: sorted(  # noqa: E731
+        (r.conv_id, int(r.turn_idx), int(r.sid))
+        for r in df.select("conv_id", "turn_idx", "sid").collect()
+    )
+    got = rows(auto_b)
+    assert got == rows(auto_p) == rows(_alerts(spark, spark.table(table), "fused"))
+    assert len(got) > 0
+
+
+def test_auto_mode_resolution(spark, bucketed):
+    """Resolver unit surface: hybrid ONLY for bucketed + all-native; a
+    single Python-path rule (grok) keeps the fused default even on the
+    bucketed table; explicit modes are honored."""
+    from sagan_spark.engine.pipeline import resolve_match_mode
+    from sagan_spark.rules.model import GrokSpec
+
+    plain, table = bucketed
+    bdf, pdf = spark.table(table), spark.read.parquet(plain)
+    assert resolve_match_mode(bdf, NATIVE_RS, "auto") == "hybrid"
+    assert resolve_match_mode(pdf, NATIVE_RS, "auto") == "fused"
+    grokked = RuleSet(
+        NATIVE_RS.rules
+        + (
+            Rule(
+                sid=4600003,
+                msg="py path",
+                sink="fast",
+                contents=(ContentSpec("error",),),
+                groks=(GrokSpec(r"code=(?P<code>\d+)", required=False),),
+            ),
+        )
+    )
+    assert resolve_match_mode(bdf, grokked, "auto") == "fused"
+    for explicit in ("fused", "hybrid", "udf"):
+        assert resolve_match_mode(bdf, NATIVE_RS, explicit) == explicit
+    # unresolved "auto" must never leak into run_match's hybrid fallthrough
+    from sagan_spark.engine import match as matchmod
+
+    with pytest.raises(ValueError, match="unknown match mode"):
+        matchmod.run_match(bdf, NATIVE_RS, mode="auto")
 
 
 def test_replay_guard_refuses_non_contiguous_partition():

@@ -175,6 +175,74 @@ def test_checkpoint_guard_refuses_stateless_ruleset_over_stateful_state(spark, t
         sp.run_stream(spark, d, out, ck, stateless, max_files_per_trigger=8)
 
 
+def test_checkpoint_guard_refuses_stateful_over_stateless_checkpoint(spark, tmp_path):
+    """The INVERSE migration (r6): a checkpoint committed by a stateless
+    query has no state store, so adding stateful rules and resuming would
+    make Spark fail (or misbehave) opaquely on the new operator — the
+    guard refuses up front. An offsets-only checkpoint (stateful query
+    interrupted before its first commit) must still resume."""
+    from sagan_spark.streaming import pipeline as sp
+
+    d = str(tmp_path / "in")
+    os.makedirs(d, exist_ok=True)
+    _write(os.path.join(d, "b0.parquet"), [("convA", 0, "retry a", 0)])
+    out, ck = str(tmp_path / "o"), str(tmp_path / "ck")
+    stateless = RuleSet(
+        (Rule(sid=4500003, msg="plain", sink="fast", contents=(ContentSpec("retry",),)),)
+    )
+    q = sp.run_stream(spark, d, out, ck, stateless, max_files_per_trigger=8)
+    q.processAllAvailable()
+    q.stop()
+    assert not os.path.exists(os.path.join(ck, "state", "0"))  # premise
+    with pytest.raises(RuntimeError, match="STATELESS"):
+        sp.run_stream(spark, d, out, ck, _stateful_ruleset(), max_files_per_trigger=8)
+    # offsets-only (no commits): legitimate batch-0 replay, not refused
+    ck2 = str(tmp_path / "ck2")
+    os.makedirs(os.path.join(ck2, "offsets"), exist_ok=True)
+    open(os.path.join(ck2, "offsets", "0"), "w").write("v1")
+    sp.check_checkpoint_layout(spark, ck2, has_stateful=True)
+
+
+def test_checkpoint_guard_survives_brace_framing_byte(spark, tmp_path):
+    """A writeUTF length byte equal to 0x7b ('{') before the real schema
+    JSON must not crash the guard (r6: the parser tries each '{' until one
+    parses as a struct instead of trusting the first)."""
+    from sagan_spark.streaming import pipeline as sp
+
+    d, out, ck = _make_checkpoint(spark, tmp_path)
+    paths = glob.glob(os.path.join(ck, "state", "0", "*", "_metadata", "schema"))
+    assert paths
+    key_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": "string", "nullable": True, "metadata": {}}
+                for n in ["_skind", "_skey"]
+            ],
+        }
+    ).encode()
+    for p in paths:
+        with open(p, "wb") as f:
+            # framing whose length byte IS 0x7b, directly before the JSON
+            f.write(b"\x00\x7b" + key_json)
+        crc = p.rsplit("/", 1)[0] + "/." + p.rsplit("/", 1)[1] + ".crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+    # unified layout behind the hostile framing → valid resume, no raise
+    sp.check_checkpoint_layout(spark, ck, has_stateful=True)
+    # and a MISMATCHED layout behind the same framing still refuses
+    _patch_key_schema(ck, ["conv_id"])
+    for p in paths:
+        raw = open(p, "rb").read()
+        with open(p, "wb") as f:
+            f.write(b"\x00\x7b" + raw[raw.find(b"{"):])
+        crc = p.rsplit("/", 1)[0] + "/." + p.rsplit("/", 1)[1] + ".crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+    with pytest.raises(RuntimeError, match="pre-unification"):
+        sp.check_checkpoint_layout(spark, ck, has_stateful=True)
+
+
 def test_checkpoint_guard_fresh_dir_passes(spark, tmp_path):
     """An absent checkpoint dir is simply a first run."""
     from sagan_spark.streaming import pipeline as sp

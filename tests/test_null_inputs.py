@@ -69,3 +69,19 @@ def test_nulls_engine_equals_oracle(spark, null_pdf):
     assert 3 in sids_by_turn.get(5, set())  # tool is "not assistant"
     assert 3 not in sids_by_turn.get(1, set())  # null role fails negated set too
     assert 5 in sids_by_turn.get(3, set())  # backref pcre handled on UDF path
+
+
+def test_empty_input_runs_clean(spark, tmp_path):
+    """ZERO-row input (r6, found by the verify probe): AQE's empty-relation
+    propagation can prune the input-side CollectMetrics node, so the
+    input-metrics Observation never fires — pipeline.run must fall back to
+    a direct aggregate instead of crashing, and report empty counts."""
+    from sagan_spark.datagen.transcripts import gen_chunk
+
+    p = str(tmp_path / "empty_tx")
+    df = spark.createDataFrame(gen_chunk(0, 3, seed=3, hot_cap=500)).limit(0)
+    df.write.mode("overwrite").parquet(p)
+    res = pipeline.run(spark, p)
+    assert res.sink_counts == {} and res.sid_counts == {}
+    assert res.metrics["rows_in"] == 0 and res.metrics["alerts"] == 0
+    assert res.metrics["ts_min"] is None
