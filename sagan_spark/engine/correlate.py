@@ -34,6 +34,7 @@ pandas oracle):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable, Iterator
 
 import numpy as np
@@ -67,11 +68,40 @@ def counter_emit(rule: Rule, counters: dict, key, t: float) -> bool:
     raise ValueError(spec.type)
 
 
+class _ReplayCarry:
+    """Correlation state carried ACROSS bounded replay chunks of one
+    sorted partition (r6 — the implementation behind SURVEY §4.2's
+    "chunk replay if > 1e6" spill mitigation). One instance per
+    partition; chunk boundaries fall on (conv_id, turn_idx)-run
+    boundaries, so a conversation's counters/bits flow through unbroken
+    and the non-contiguity guard still sees every conv transition."""
+
+    __slots__ = ("counters", "bits", "cur_conv", "seen_convs")
+
+    def __init__(self) -> None:
+        # per current conv: sid (or (sid, tool) for track="conv_tool") ->
+        # (window_start, count)
+        self.counters: dict = {}
+        self.bits: dict[str, tuple[float, float | None]] = {}  # bit -> (set_ts, expire)
+        self.cur_conv: str | None = None
+        self.seen_convs: set = set()
+
+
 def _replay_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.DataFrame:
     """Replay one hash-partition of alerts, pre-sorted by
     (conv_id, turn_idx, sid). Rows of non-stateful sids pass through
     (emitted unconditionally); stateful rows replay in order. Returns the
     rows that *emit*."""
+    return _replay_sorted_carry(rules_by_sid, pdf, _ReplayCarry())
+
+
+def _replay_sorted_carry(
+    rules_by_sid: dict[int, Rule], pdf: pd.DataFrame, carry: _ReplayCarry
+) -> pd.DataFrame:
+    """One chunk of `_replay_sorted`, reading and mutating ``carry``. The
+    chunk must start and end on (conv_id, turn_idx)-run boundaries
+    (checks see pre-turn state, so a half-seen run would evaluate bit
+    checks before the run's remaining set actions are known)."""
     n = len(pdf)
     conv = pdf["conv_id"].to_numpy()
     turn = pdf["turn_idx"].to_numpy()
@@ -83,21 +113,18 @@ def _replay_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.DataF
     idxs = np.flatnonzero(stateful)
     m = len(idxs)
 
-    # per current conv: sid (or (sid, tool) for track="conv_tool") ->
-    # (window_start, count)
-    counters: dict = {}
-    bits: dict[str, tuple[float, float | None]] = {}  # bit -> (set_ts, expire)
-    cur_conv: str | None = None
+    counters = carry.counters
+    bits = carry.bits
     # Correctness guard: state resets on conv CHANGE, so each conv's rows
     # must be one contiguous sorted run. A revisited conv means the
-    # partition was NOT (conv_id, turn)-sorted — seen in the wild when
+    # partition was NOT (conv_id, turn_idx)-sorted — seen in the wild when
     # Spark's auto-bucketed-scan fallback elided the conv_id exchange but
     # read plain file splits (session.py conf note) — and silently
     # fragmenting per-conv state is the one failure mode worse than
     # crashing. (A conv split ACROSS partitions with each fragment
     # contiguous is not detectable here; the session conf closes the
     # known cause.)
-    seen_convs: set = set()
+    seen_convs = carry.seen_convs
 
     i = 0
     while i < m:
@@ -106,9 +133,9 @@ def _replay_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.DataF
         j = i + 1
         while j < m and conv[idxs[j]] == conv[idxs[i]] and turn[idxs[j]] == turn[idxs[i]]:
             j += 1
-        if conv[idxs[i]] != cur_conv:
-            if cur_conv is not None:
-                seen_convs.add(cur_conv)
+        if conv[idxs[i]] != carry.cur_conv:
+            if carry.cur_conv is not None:
+                seen_convs.add(carry.cur_conv)
             if conv[idxs[i]] in seen_convs:
                 raise RuntimeError(
                     f"replay partition is not conv-contiguous: conversation "
@@ -118,9 +145,9 @@ def _replay_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.DataF
                     "spark.sql.sources.bucketing.autoBucketedScan.enabled="
                     "false (engine default, see session.py)."
                 )
-            counters = {}
-            bits = {}
-            cur_conv = conv[idxs[i]]
+            counters.clear()
+            bits.clear()
+            carry.cur_conv = conv[idxs[i]]
         pending_sets: list[tuple[str, str, float, float | None]] = []
         for k in idxs[i:j]:
             rule = rules_by_sid[int(sid[k])]
@@ -156,6 +183,20 @@ def _replay_sorted(rules_by_sid: dict[int, Rule], pdf: pd.DataFrame) -> pd.DataF
     return pdf.loc[fires]
 
 
+class _TrackCarry:
+    """Chunk-carried state for `_replay_tracked_sorted` (see
+    ``_ReplayCarry``). Track replay is strictly row-at-a-time (no
+    flexbits on non-conv tracks, enforced at RuleSet construction), so
+    chunks may split ANYWHERE in the sorted partition."""
+
+    __slots__ = ("counters", "cur_key", "seen_keys")
+
+    def __init__(self) -> None:
+        self.counters: dict[int, tuple[float, int]] = {}  # per current key: sid -> (ws, cnt)
+        self.cur_key: object = _UNSET
+        self.seen_keys: set = set()
+
+
 def _replay_tracked_sorted(
     rules_by_sid: dict[int, Rule], pdf: pd.DataFrame, key_col: str
 ) -> pd.DataFrame:
@@ -168,26 +209,31 @@ def _replay_tracked_sorted(
     table by username/dst the same way). Non-conv-tracked rules cannot
     carry flexbits (enforced at RuleSet construction), so no per-turn
     set/check staging is needed. Rows of other sids pass through."""
+    return _replay_tracked_carry(rules_by_sid, pdf, key_col, _TrackCarry())
+
+
+def _replay_tracked_carry(
+    rules_by_sid: dict[int, Rule], pdf: pd.DataFrame, key_col: str, carry: _TrackCarry
+) -> pd.DataFrame:
     sid = pdf["sid"].to_numpy()
     key = pdf[key_col].to_numpy()
     ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64") / 1_000_000.0
     tracked = np.isin(sid, np.fromiter(rules_by_sid.keys(), dtype=np.int64))
     fires = ~tracked
-    counters: dict[int, tuple[float, int]] = {}  # per current role: sid -> (ws, cnt)
-    cur_key: object = _UNSET
-    seen_keys: set = set()  # same non-contiguity guard as _replay_sorted
+    counters = carry.counters
+    seen_keys = carry.seen_keys  # same non-contiguity guard as _replay_sorted
     for k in np.flatnonzero(tracked):
-        if key[k] != cur_key:
-            if cur_key is not _UNSET:
-                seen_keys.add(cur_key)
+        if key[k] != carry.cur_key:
+            if carry.cur_key is not _UNSET:
+                seen_keys.add(carry.cur_key)
             if key[k] in seen_keys:
                 raise RuntimeError(
                     f"track replay partition is not key-contiguous: "
                     f"{key_col}={key[k]!r} reappears after other keys — "
                     "the partition lost its sort (see _replay_sorted guard)."
                 )
-            counters = {}
-            cur_key = key[k]
+            counters.clear()
+            carry.cur_key = key[k]
         rule = rules_by_sid[int(sid[k])]
         fires[k] = counter_emit(rule, counters, rule.sid, ts[k])
     return pdf.loc[fires]
@@ -237,15 +283,33 @@ def run_correlate(alerts: DataFrame, ruleset: RuleSet, scope: str = "all") -> Da
     schema = alerts.schema
 
     if tracked:
+        # same bounded-chunk streaming as the conv replay below — and
+        # simpler: track replay is row-at-a-time, so every Arrow batch is
+        # a valid chunk boundary and no rebuffering is needed at all
+        track_chunk = int(os.environ.get("SAGAN_REPLAY_CHUNK_ROWS", str(1 << 21)))
+
         def _make_replay(rules: dict[int, Rule], col: str):
             def replay_tracked(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                parts = [b for b in batches if len(b)]
-                if not parts:
-                    return
-                pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
-                out = _replay_tracked_sorted(rules, pdf, col)
-                if len(out):
-                    yield out
+                carry = _TrackCarry()
+                buf: list[pd.DataFrame] = []
+                nbuf = 0
+                for b in batches:
+                    if not len(b):
+                        continue
+                    buf.append(b)
+                    nbuf += len(b)
+                    if nbuf < track_chunk:
+                        continue
+                    pdf = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
+                    out = _replay_tracked_carry(rules, pdf, col, carry)
+                    if len(out):
+                        yield out
+                    buf, nbuf = [], 0
+                if nbuf:
+                    pdf = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
+                    out = _replay_tracked_carry(rules, pdf, col, carry)
+                    if len(out):
+                        yield out
 
             return replay_tracked
 
@@ -268,18 +332,47 @@ def run_correlate(alerts: DataFrame, ruleset: RuleSet, scope: str = "all") -> Da
 
     rules_by_sid = conv_rules
     stateful_sids = list(conv_rules)
+    # Spill guard (SURVEY §4.2): a partition is normally replayed as one
+    # frame (bounded by rows-per-shuffle-partition), but a pathological
+    # hot conversation can make one partition's alert slice arbitrarily
+    # large — the measured straggler turns stage-dominant around ~3×10⁵
+    # matched turns in one conv (BENCH/TUNING.md skew rows). Above
+    # chunk_rows the replay streams the SAME sorted rows through
+    # bounded-size chunks instead, carrying (counters, bits, guard) state
+    # across chunk boundaries — memory bounded by ~chunk_rows + one
+    # (conv, turn) run, identical output (tests force a tiny chunk size).
+    chunk_rows = int(os.environ.get("SAGAN_REPLAY_CHUNK_ROWS", str(1 << 21)))
 
     def replay(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Concatenate this partition's Arrow batches: replay is sequential
-        # per conversation and conversations may span batch boundaries.
-        # Bounded by rows-per-shuffle-partition (see module docstring).
-        parts = [b for b in batches if len(b)]
-        if not parts:
-            return
-        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
-        out = _replay_sorted(rules_by_sid, pdf)
-        if len(out):
-            yield out
+        carry = _ReplayCarry()
+        buf: list[pd.DataFrame] = []
+        nbuf = 0
+        for b in batches:
+            if not len(b):
+                continue
+            buf.append(b)
+            nbuf += len(b)
+            if nbuf < chunk_rows:
+                continue
+            pdf = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
+            conv = pdf["conv_id"].to_numpy()
+            turn = pdf["turn_idx"].to_numpy()
+            # split at the LAST (conv, turn)-run boundary — a run must
+            # never be replayed half-seen (checks see pre-turn state)
+            bnd = np.flatnonzero((conv[1:] != conv[:-1]) | (turn[1:] != turn[:-1])) + 1
+            if len(bnd) == 0:
+                continue  # one giant run (sids × one turn) — keep buffering
+            split = int(bnd[-1])
+            out = _replay_sorted_carry(rules_by_sid, pdf.iloc[:split], carry)
+            if len(out):
+                yield out
+            buf = [pdf.iloc[split:]]
+            nbuf = len(pdf) - split
+        if nbuf:
+            pdf = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
+            out = _replay_sorted_carry(rules_by_sid, pdf, carry)
+            if len(out):
+                yield out
 
     if scope == "linear":
         # Strictly ONE consumer of the match subtree: every alert row takes
