@@ -17,7 +17,8 @@ same role is played by a ``sagan_spark.yaml`` consumed by
       fold_dims: true
       shuffle_partitions: 4096
       state_ttl_minutes: 30           # streaming state eviction
-      max_files_per_trigger: 1
+      max_files_per_trigger: 1        # batch sizing = the throughput knob (see field note)
+      stream_drain: false             # true: AvailableNow backfill drain, then stop
       track_hwm_cap: 100000           # bounded redelivery guard per track key
       checkpoint_dir: /data/ck
       resume_dir: /data/alerts/_bookmarks
@@ -48,7 +49,16 @@ class PipelineConfig:
     shuffle_partitions: int | None = None
     master: str | None = None
     state_ttl_minutes: float | None = None
+    # Batch sizing IS the streaming throughput knob: each micro-batch pays
+    # a ~4.5s row-count-independent floor (measured, BENCH/TUNING.md r5 —
+    # Python round trips + state-store commits + per-sink writes), so size
+    # this so the floor is a small fraction of batch wall; latency-bound
+    # deployments instead pick the smallest batch meeting their target.
     max_files_per_trigger: int = 1
+    # Backfill drain: Trigger.AvailableNow — process everything currently
+    # in the input as rate-limited micro-batches and stop (see
+    # streaming.pipeline.run_stream(drain=...)).
+    stream_drain: bool = False
     checkpoint_dir: str | None = None
     resume_dir: str | None = None
     # bounded-state knob for track-keyed streaming operators: max
@@ -70,6 +80,7 @@ _ENGINE_KEYS = {
     "master",
     "state_ttl_minutes",
     "max_files_per_trigger",
+    "stream_drain",
     "checkpoint_dir",
     "resume_dir",
     "track_hwm_cap",

@@ -202,7 +202,26 @@ def unified2_record() -> F.Column:
     return F.concat(_u32(F.lit(7)), _u32(F.length(body)), body)
 
 
-def write_unified2_binary(alerts: DataFrame, out_dir: str) -> None:
+def _executor_fs_ok(out_dir: str) -> bool:
+    """Can ``pyarrow.fs`` open this location (the only FS layer available
+    on Python executors, which have no JVM gateway)? Local paths and
+    ``file://``/``s3://`` yes; ``hdfs://`` only when libhdfs is loadable —
+    probed HERE on the driver (same wheel, same environment class) so the
+    staged fallback is chosen up front instead of failing task-side."""
+    import pyarrow.fs as pafs
+
+    if "://" not in out_dir or out_dir.startswith("file:/"):
+        return True
+    try:
+        pafs.FileSystem.from_uri(out_dir)
+        return True
+    except Exception:
+        return False
+
+
+def write_unified2_binary(
+    alerts: DataFrame, out_dir: str, staging_dir: str | None = None
+) -> None:
     """Write the unified2 sink as length-prefixed binary record files, one
     file per conv_id-hash partition (Sagan spools unified2 to local files
     the same way; on a cluster, point out_dir at shared storage).
@@ -211,15 +230,33 @@ def write_unified2_binary(alerts: DataFrame, out_dir: str) -> None:
     gateway for the Hadoop FileSystem API — portability comes from
     ``pyarrow.fs`` instead: ``file://`` and bare paths via
     LocalFileSystem, ``s3://`` via pyarrow's bundled S3 support (same
-    library the Arrow parquet path already ships). ``hdfs://`` requires
-    libhdfs on the executors — absent that, stage to s3/shared-file and
-    distcp."""
+    library the Arrow parquet path already ships).
+
+    Schemes pyarrow cannot open (``hdfs://`` without libhdfs on the
+    executors) take the STAGED path: executors write the same part files
+    to ``staging_dir`` — any pyarrow-reachable shared location (NFS
+    ``file://``, ``s3://``) — and the driver then promotes each staged
+    file to ``out_dir`` through the JVM Hadoop FileSystem (full scheme
+    support, atomic temp+rename per file via fsutil) and deletes the
+    staging tree. Alert-sink volume is ≪1% of input, so the driver-side
+    promotion copy is bounded; the direct path remains zero-copy."""
+    spark = alerts.sparkSession
     recs = (
         alerts.filter(F.col("sink") == "unified2")
         .repartition("conv_id")
         .sortWithinPartitions("conv_id", "turn_idx", "sid")
         .select(unified2_record().alias("rec"))
     )
+    direct = _executor_fs_ok(out_dir)
+    if not direct and staging_dir is None:
+        raise ValueError(
+            f"unified2 out_dir {out_dir!r} is not reachable from Python "
+            "executors (pyarrow.fs cannot open the scheme — e.g. hdfs:// "
+            "without libhdfs); pass staging_dir= pointing at a shared "
+            "pyarrow-reachable location (file:// NFS mount, s3://) and the "
+            "driver will promote the staged files."
+        )
+    target = out_dir if direct else staging_dir
 
     def dump(rows) -> None:
         import pyarrow.fs as pafs
@@ -228,15 +265,30 @@ def write_unified2_binary(alerts: DataFrame, out_dir: str) -> None:
         pid = TaskContext.get().partitionId()
         buf = b"".join(r.rec for r in rows)
         if buf:
-            if "://" in out_dir or out_dir.startswith("file:/"):
-                fs, base = pafs.FileSystem.from_uri(out_dir)
+            if "://" in target or target.startswith("file:/"):
+                fs, base = pafs.FileSystem.from_uri(target)
             else:
-                fs, base = pafs.LocalFileSystem(), out_dir
+                fs, base = pafs.LocalFileSystem(), target
             fs.create_dir(base, recursive=True)  # idempotent across tasks
             with fs.open_output_stream(f"{base.rstrip('/')}/part-{pid:05d}.u2") as f:
                 f.write(buf)
 
     recs.foreachPartition(dump)
+    if not direct:
+        from .. import fsutil
+
+        try:
+            staged = fsutil.fs_list_files(spark, staging_dir, suffix=".u2")
+        except FileNotFoundError:
+            staged = []  # zero unified2 alerts → nothing was staged
+        for uri in staged:
+            name = uri.rstrip("/").rsplit("/", 1)[-1]
+            fsutil.fs_write_bytes(
+                spark,
+                out_dir.rstrip("/") + "/" + name,
+                fsutil.fs_read_bytes(spark, uri),
+            )
+        fsutil.fs_delete(spark, staging_dir)
 
 
 def pipe_to_program(alerts: DataFrame, sink: str, argv: list[str]) -> int:

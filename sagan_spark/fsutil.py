@@ -35,7 +35,12 @@ def _fs(spark, path: str):
 
 
 def fs_write_text(spark, path: str, content: str) -> None:
-    """Atomically write a small text file: create a uuid-suffixed temp
+    """Atomically write a small text file — see ``fs_write_bytes``."""
+    fs_write_bytes(spark, path, content.encode("utf-8"))
+
+
+def fs_write_bytes(spark, path: str, content: bytes) -> None:
+    """Atomically write a small file: create a uuid-suffixed temp
     name (concurrent writers to the same directory cannot clobber each
     other's temp), then rename over the target with
     ``FileContext.rename(..., Options.Rename.OVERWRITE)`` — an atomic
@@ -52,7 +57,7 @@ def fs_write_text(spark, path: str, content: str) -> None:
     jvm, fs, hpath = _fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp." + uuid.uuid4().hex)
     out = fs.create(tmp, True)
-    out.write(bytearray(content.encode("utf-8")))
+    out.write(bytearray(content))
     out.close()
     # Obtaining a FileContext is the only fallback-eligible failure
     # (UnsupportedFileSystemException for schemes without an AbstractFileSystem
@@ -112,6 +117,12 @@ def fs_exists(spark, path: str) -> bool:
 def fs_mkdirs(spark, path: str) -> None:
     _, fs, hpath = _fs(spark, path)
     fs.mkdirs(hpath)
+
+
+def fs_delete(spark, path: str) -> None:
+    """Recursive delete; absent paths are a no-op (idempotent cleanup)."""
+    _, fs, hpath = _fs(spark, path)
+    fs.delete(hpath, True)
 
 
 def fs_listdir(spark, path: str) -> list[str]:

@@ -685,11 +685,28 @@ def run_stream(
     trigger_processing_time: str | None = None,
     match_mode: str = "auto",
     track_hwm_cap: int = 100_000,
+    drain: bool = False,
 ):
     """Start the streaming pipeline; per-sink fan-out via foreachBatch
     (idempotent per-batch parquet directories — exactly-once under
     micro-batch replay, see make_batch_writer — the streaming twin of
     route.write_sinks). Returns the StreamingQuery.
+
+    Batch sizing IS the throughput knob (measured, BENCH/TUNING.md r5):
+    each micro-batch pays a ~4.5s row-count-independent floor (Python
+    round trips + state-store commits + per-sink write jobs), so size
+    ``max_files_per_trigger`` so that floor is a small fraction of the
+    batch's wall — the bench's production-sized batch ran the same input
+    2.7× faster than quarter-sized batches with identical output.
+    Latency-bound deployments set the floor instead: the smallest batch
+    that meets the latency target, accepting the per-batch overhead.
+
+    ``drain=True`` (backfill runs): Trigger.AvailableNow — process
+    everything currently in ``input_dir`` as rate-limited micro-batches
+    (``max_files_per_trigger`` still honored, so state-store pressure
+    stays bounded) and STOP, instead of idling for new files. The query
+    terminates on its own; await it with ``awaitTermination()``.
+    Incompatible with ``trigger_processing_time``.
 
     NOTE: with ``state_ttl_minutes`` set, Structured Streaming schedules
     batches CONTINUOUSLY to evaluate processing-time timers — always pass
@@ -697,6 +714,8 @@ def run_stream(
     engine busy-loops empty batches; ``processAllAvailable()`` also never
     settles under pending timers, so TTL deployments should monitor via
     listeners/output instead."""
+    if drain and trigger_processing_time is not None:
+        raise ValueError("drain=True (AvailableNow) excludes trigger_processing_time")
     has_stateful = any(r.stateful or r.depends_on is not None for r in ruleset.rules)
     check_checkpoint_layout(spark, checkpoint_dir, has_stateful)
     alerts = build_stream(
@@ -708,6 +727,8 @@ def run_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
-    if trigger_processing_time is not None:
+    if drain:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_processing_time is not None:
         writer = writer.trigger(processingTime=trigger_processing_time)
     return writer.start()

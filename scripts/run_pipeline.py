@@ -125,6 +125,7 @@ def main(argv: list[str] | None = None) -> None:
             state_ttl_minutes=cfg.state_ttl_minutes,
             match_mode=cfg.match_mode,
             track_hwm_cap=cfg.track_hwm_cap,
+            drain=cfg.stream_drain,
         )
         q.awaitTermination()
 

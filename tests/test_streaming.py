@@ -158,3 +158,36 @@ def test_stream_state_crosses_batches(spark, split_input, tmp_path):
         if c in setters1.index and t in set(f2[f2.conv_id == c].turn_idx)
     ]
     assert cross, "no flexbit firing crossed the batch boundary — fixture or state bug"
+
+
+def test_stream_drain_available_now(spark, split_input, tmp_path):
+    """r6 backfill drain: drain=True (Trigger.AvailableNow) processes
+    everything currently in the input as rate-limited micro-batches and
+    terminates ON ITS OWN — no processAllAvailable/stop choreography —
+    with output identical to the continuous run and max_files_per_trigger
+    still honored (≥2 batch dirs from the 2-file input at mfpt=1)."""
+    out = str(tmp_path / "drain_out")
+    ck = str(tmp_path / "drain_ck")
+    q = stream_pipeline.run_stream(
+        spark, split_input, out, ck, max_files_per_trigger=1, drain=True
+    )
+    assert q.awaitTermination(300), "drain query did not self-terminate"
+
+    ref = batch_pipeline.run(spark, split_input)
+    got_counts: dict[str, int] = {}
+    for sink in ("fast", "eve", "syslog", "unified2"):
+        p = os.path.join(out, sink)
+        if os.path.exists(p):
+            c = spark.read.parquet(p).count()
+            if c:
+                got_counts[sink] = c
+    assert got_counts == ref.sink_counts
+    ref.unpersist()
+    # rate limiting respected under AvailableNow: one batch dir per file
+    fast_batches = [d for d in os.listdir(os.path.join(out, "fast")) if d.startswith("batch=")]
+    assert len(fast_batches) >= 2, fast_batches
+    # drain + processing-time trigger is a contradiction → refused
+    with pytest.raises(ValueError, match="AvailableNow"):
+        stream_pipeline.run_stream(
+            spark, split_input, out, ck, drain=True, trigger_processing_time="1 minute"
+        )
