@@ -30,12 +30,17 @@ def _iceberg_available(spark: SparkSession) -> bool:
 
 
 def read_table(spark: SparkSession, location: str, columns: list[str] | None = None) -> DataFrame:
-    """Read a table by location. ``location`` is either an Iceberg table
-    identifier (when the extension is loaded and the id has no '/') or a
-    parquet path. Column pruning is passed through so Catalyst pushes
-    ``ReadSchema`` down to the scan."""
-    if "/" not in location and _iceberg_available(spark):
-        df = spark.read.format("iceberg").load(location)
+    """Read a table by location. ``location`` is either a slash-free table
+    IDENTIFIER — Iceberg when the extension is loaded, otherwise a catalog
+    table via ``spark.table`` (the form conv_id-BUCKETED tables take, so a
+    config file pointing at one gets the zero-exchange replay plan from
+    match_mode="auto" with no code) — or a parquet path. Column pruning is
+    passed through so Catalyst pushes ``ReadSchema`` down to the scan."""
+    if "/" not in location:
+        if _iceberg_available(spark):
+            df = spark.read.format("iceberg").load(location)
+        else:
+            df = spark.table(location)
     else:
         df = spark.read.parquet(location)
     if columns:

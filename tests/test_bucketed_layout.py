@@ -168,6 +168,23 @@ def test_auto_mode_resolution(spark, bucketed):
         matchmod.run_match(bdf, NATIVE_RS, mode="auto")
 
 
+def test_pipeline_run_on_catalog_identifier_elides_exchange(spark, bucketed):
+    """r6 end-to-end: `pipeline.run` pointed at the bucketed CATALOG
+    table identifier (io.read_table routes slash-free ids to spark.table)
+    with default settings gets the zero-exchange plan and counts equal to
+    the plain-parquet path — the whole 100-TB deployment story from one
+    config line, no code."""
+    from sagan_spark.engine import pipeline
+
+    plain, table = bucketed
+    res_b = pipeline.run(spark, table, ruleset=NATIVE_RS)
+    res_p = pipeline.run(spark, plain, ruleset=NATIVE_RS)
+    assert res_b.sink_counts == res_p.sink_counts
+    assert sum(res_b.sink_counts.values()) > 0
+    assert _n_conv_exchanges(res_b.alerts) == 0
+    assert _n_conv_exchanges(res_p.alerts) >= 1
+
+
 def test_replay_guard_refuses_non_contiguous_partition():
     """The replay resets per-conversation state on conv change, so a
     partition where a conversation REAPPEARS after others (lost sort —

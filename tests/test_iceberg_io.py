@@ -92,13 +92,31 @@ def test_iceberg_write_read_roundtrip(tmp_path):
 
 def test_iceberg_branch_selection_logic(spark):
     """The branch predicate itself is testable without the jar: a
-    path-like location or a missing extension must route to parquet, an
-    identifier with the extension active must route to iceberg."""
+    slash-free identifier without the extension routes to the CATALOG
+    (spark.table — how bucketed tables are read); with the extension it
+    routes to iceberg; paths go to parquet."""
     from sagan_spark import io as iomod
 
     assert not iomod._iceberg_available(spark)  # sandbox premise
-    # identifier + no extension → parquet branch raises on a nonexistent
-    # path (NOT an iceberg catalog error)
+    # identifier + no extension → catalog branch raises a CATALOG error
+    # (namespace shape here), never an iceberg or parquet-path error
     with pytest.raises(Exception) as ei:
         iomod.read_table(spark, "no_such_catalog.db.tx")
     assert "iceberg" not in str(ei.value).lower()
+    assert "namespace" in str(ei.value).lower() or "catalog" in str(ei.value).lower()
+    with pytest.raises(Exception) as ei2:
+        iomod.read_table(spark, "no_such_table_xyz")
+    msg2 = str(ei2.value).lower()
+    assert "table" in msg2 or "view" in msg2  # TABLE_OR_VIEW_NOT_FOUND
+
+
+def test_read_table_reads_catalog_table(spark):
+    from sagan_spark import io as iomod
+
+    spark.sql("DROP TABLE IF EXISTS io_cat_test")
+    spark.createDataFrame([(1, "a")], "x int, y string").write.saveAsTable("io_cat_test")
+    try:
+        got = iomod.read_table(spark, "io_cat_test", columns=["y"])
+        assert got.columns == ["y"] and got.count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS io_cat_test")
