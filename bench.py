@@ -304,7 +304,11 @@ def main() -> None:
                         spark.read.parquet(sdir_sink)
                         .agg(
                             F.count(F.lit(1)).alias("n"),
-                            F.sum(F.xxhash64("conv_id", "turn_idx", "sid")).alias("h"),
+                            # pmod before the sum: summing raw 64-bit hashes
+                            # over ~10^6 rows overflows long under ANSI mode
+                            F.sum(
+                                F.pmod(F.xxhash64("conv_id", "turn_idx", "sid"), F.lit(2**31))
+                            ).alias("h"),
                         )
                         .first()
                     )

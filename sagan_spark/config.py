@@ -19,6 +19,7 @@ same role is played by a ``sagan_spark.yaml`` consumed by
       state_ttl_minutes: 30           # streaming state eviction
       max_files_per_trigger: 1        # batch sizing = the throughput knob (see field note)
       stream_drain: false             # true: AvailableNow backfill drain, then stop
+      replay_chunk_rows: 2097152      # bounded-chunk replay threshold (rows)
       track_hwm_cap: 100000           # bounded redelivery guard per track key
       checkpoint_dir: /data/ck
       resume_dir: /data/alerts/_bookmarks
@@ -59,6 +60,11 @@ class PipelineConfig:
     # in the input as rate-limited micro-batches and stop (see
     # streaming.pipeline.run_stream(drain=...)).
     stream_drain: bool = False
+    # Batch replay chunking threshold (rows per in-memory replay chunk;
+    # see docs/SCALE.md hot-conversation note). None keeps the engine
+    # default (2^21); exported to SAGAN_REPLAY_CHUNK_ROWS by
+    # run_pipeline before the plan is built.
+    replay_chunk_rows: int | None = None
     checkpoint_dir: str | None = None
     resume_dir: str | None = None
     # bounded-state knob for track-keyed streaming operators: max
@@ -81,6 +87,7 @@ _ENGINE_KEYS = {
     "state_ttl_minutes",
     "max_files_per_trigger",
     "stream_drain",
+    "replay_chunk_rows",
     "checkpoint_dir",
     "resume_dir",
     "track_hwm_cap",

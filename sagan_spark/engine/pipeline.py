@@ -1,7 +1,10 @@
 """End-to-end batch pipeline: parse → match → enrich → correlate → route.
 
-The Spark re-expression of Sagan's per-event loop (SURVEY §3.2 E1). Plan
-shape with the default fused match (asserted by tests/test_plan_shape.py):
+The Spark re-expression of Sagan's per-event loop (SURVEY §3.2 E1). The
+default match_mode="auto" resolves to the fused plan below on ordinary
+input, and to the zero-exchange hybrid plan when the scan is bucketed by
+conv_id and every rule is native (resolve_match_mode). Fused plan shape
+(asserted by tests/test_plan_shape.py):
 
   ONE parquet/Iceberg scan (ReadSchema pruned to the 6 transcript columns)
     → Project: native-rule when-array → `_nsids` [whole-stage codegen]

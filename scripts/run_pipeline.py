@@ -86,6 +86,9 @@ def main(argv: list[str] | None = None) -> None:
         }[args.ruleset]
     else:
         ruleset = load_ruleset(cfg)
+    if cfg.replay_chunk_rows is not None:
+        # the replay reads this at plan-build time (engine/correlate.py)
+        os.environ["SAGAN_REPLAY_CHUNK_ROWS"] = str(cfg.replay_chunk_rows)
     spark = get_spark(
         app_name="sagan_pipeline",
         master=args.master or cfg.master,

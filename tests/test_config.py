@@ -32,6 +32,8 @@ engine:
   shuffle_partitions: 4096
   state_ttl_minutes: 30
   max_files_per_trigger: 2
+  stream_drain: true
+  replay_chunk_rows: 500000
   checkpoint_dir: /data/ck
   master: local[8]
 """
@@ -48,6 +50,8 @@ def test_parse_example():
     assert cfg.shuffle_partitions == 4096
     assert cfg.state_ttl_minutes == 30
     assert cfg.max_files_per_trigger == 2
+    assert cfg.stream_drain is True
+    assert cfg.replay_chunk_rows == 500000
     assert cfg.checkpoint_dir == "/data/ck"
     assert cfg.master == "local[8]"
 
