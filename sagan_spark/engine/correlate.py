@@ -361,7 +361,8 @@ def run_correlate(alerts: DataFrame, ruleset: RuleSet, scope: str = "all") -> Da
             # never be replayed half-seen (checks see pre-turn state)
             bnd = np.flatnonzero((conv[1:] != conv[:-1]) | (turn[1:] != turn[:-1])) + 1
             if len(bnd) == 0:
-                continue  # one giant run (sids × one turn) — keep buffering
+                buf = [pdf]  # one giant run (sids × one turn) — keep
+                continue  # buffering the already-merged frame, no re-concat
             split = int(bnd[-1])
             out = _replay_sorted_carry(rules_by_sid, pdf.iloc[:split], carry)
             if len(out):

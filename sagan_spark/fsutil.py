@@ -91,10 +91,10 @@ def fs_write_bytes(spark, path: str, content: bytes) -> None:
         # Never delete the target unless the temp is confirmed present —
         # with tmp gone there is nothing to replace it with.
         if not fs.exists(tmp):
-            raise IOError(f"fs_write_text: temp file lost renaming to {path}")
+            raise IOError(f"fs_write_bytes: temp file lost renaming to {path}")
         fs.delete(hpath, False)
         if not fs.rename(tmp, hpath):
-            raise IOError(f"fs_write_text: rename to {path} failed")
+            raise IOError(f"fs_write_bytes: rename to {path} failed")
 
 
 def fs_read_bytes(spark, path: str) -> bytes:
@@ -123,6 +123,24 @@ def fs_delete(spark, path: str) -> None:
     """Recursive delete; absent paths are a no-op (idempotent cleanup)."""
     _, fs, hpath = _fs(spark, path)
     fs.delete(hpath, True)
+
+
+def fs_rename(spark, src: str, dst: str) -> None:
+    """Rename ``src`` to ``dst`` (``dst`` itself must not exist; its parent
+    must). Per-path atomic on HDFS/POSIX; copy+delete on object stores,
+    same all-or-nothing visibility for a single path. Raises on failure —
+    callers sequencing multi-path moves (sink compaction) rely on a loud
+    stop at the first failed step, never a silent partial."""
+    _, fs, hsrc = _fs(spark, src)
+    _, _, hdst = _fs(spark, dst)
+    if not fs.rename(hsrc, hdst):
+        raise IOError(f"fs_rename: {src} -> {dst} failed")
+
+
+def fs_size(spark, path: str) -> int:
+    """Total bytes under ``path`` (recursive — Hadoop ContentSummary)."""
+    _, fs, hpath = _fs(spark, path)
+    return int(fs.getContentSummary(hpath).getLength())
 
 
 def fs_listdir(spark, path: str) -> list[str]:
