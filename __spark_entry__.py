@@ -461,14 +461,19 @@ def q_minhash_signature(spark, sf):
 
 
 def q_minhash_lsh_dups(spark, sf):
-    # max_bucket=None EXPLICITLY: the DuckDB oracle computes uncapped
-    # band-bucket pairs, so inheriting the capped default would silently
-    # break query↔oracle parity at any sf where a bucket exceeds the cap
-    # (capped behavior is oracle-checked separately via lsh_bucket_stats)
+    # Two related operators share this entry (50-entry driver window):
+    # uncapped candidate-pair count + the cap observability row.
+    # max_bucket=None EXPLICITLY on the pair count: the DuckDB oracle
+    # computes uncapped band-bucket pairs, so inheriting the capped
+    # default would silently break query↔oracle parity at any sf where a
+    # bucket exceeds the cap; capped behavior is oracle-checked by the
+    # bucket-stats columns (cap=2 so sf0.01's max bucket of 3 actually
+    # drops something — non-vacuous).
     d = _t(spark, sf, "documents")
     sig = D.minhash_signature(D.shingles(d), num_hashes=8)
     pairs = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=None)
-    return pairs.select(F.count("*").alias("candidate_pairs"))
+    stats = D.lsh_bucket_stats(sig, bands=4, rows_per_band=2, max_bucket=2)
+    return pairs.select(F.count("*").alias("candidate_pairs")).crossJoin(stats)
 
 
 def q_ngram_jaccard(spark, sf):
@@ -526,6 +531,26 @@ def q_ann_lsh_topk(spark, sf):  # scale path; oracle inlines the seeded planes
     )
 
 
+def _scratch_dir(sf: str, name: str) -> str:
+    """Deterministic per-(uid, sf) scratch path for written-index entries:
+    overwrite-mode writers reuse ONE directory across driver runs instead
+    of leaking a fresh mkdtemp per invocation. The per-uid mode-0700
+    parent keeps the otherwise world-predictable /tmp name unsquattable
+    and two users' concurrent runs disjoint (two drivers of the SAME uid
+    on the same sf remain a documented serialize-yourself constraint, as
+    with any shared index path)."""
+    import re
+    import tempfile
+
+    sf_tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf.rstrip("/").rsplit("/", 1)[-1])
+    parent = os.path.join(tempfile.gettempdir(), f"sagan_scratch_u{os.getuid()}")
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    if os.path.islink(parent) or os.stat(parent).st_uid != os.getuid():
+        raise RuntimeError(f"scratch dir {parent} squatted (symlink/foreign owner)")
+    os.chmod(parent, 0o700)  # exist_ok=True skips mode on a pre-existing dir
+    return os.path.join(parent, f"{name}_{sf_tag}", "idx")
+
+
 def q_ann_lsh_index_topk(spark, sf):  # repeated-query scale path: the
     # signature is MATERIALIZED once into a written, partitioned index and
     # the query is a probe-enumeration IN filter — no per-query signature
@@ -536,26 +561,10 @@ def q_ann_lsh_index_topk(spark, sf):  # repeated-query scale path: the
     # so the same SQL oracle applies. nbits=8 keeps the probe ball a
     # meaningful fraction of the small test corpus; plan pruning
     # (PartitionFilters + In(_sig) pushdown) is asserted in tests.
-    import re
-    import tempfile
-
     emb = _t(spark, sf, "embeddings")
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     rest = emb.where(F.col("vec_id") != 0)
-    # Deterministic scratch path per (uid, sf, nbits): write_lsh_index uses
-    # mode("overwrite"), so repeated driver runs reuse ONE directory
-    # instead of leaking a fresh mkdtemp per invocation. The per-uid
-    # mode-0700 parent keeps the otherwise world-predictable /tmp name
-    # unsquattable and two users' concurrent runs disjoint (two drivers of
-    # the SAME uid on the same sf remain a documented serialize-yourself
-    # constraint, as with any shared index path).
-    sf_tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf.rstrip("/").rsplit("/", 1)[-1])
-    parent = os.path.join(tempfile.gettempdir(), f"sagan_scratch_u{os.getuid()}")
-    os.makedirs(parent, mode=0o700, exist_ok=True)
-    if os.path.islink(parent) or os.stat(parent).st_uid != os.getuid():
-        raise RuntimeError(f"scratch dir {parent} squatted (symlink/foreign owner)")
-    os.chmod(parent, 0o700)  # exist_ok=True skips mode on a pre-existing dir
-    path = os.path.join(parent, f"lsh_idx_{sf_tag}_nb8", "idx")
+    path = _scratch_dir(sf, "lsh_idx_nb8")
     SIM.write_lsh_index(rest.where(F.col("vec_id") % 2 == 0), path, dim=len(q), nbits=8)
     SIM.append_to_lsh_index(rest.where(F.col("vec_id") % 2 == 1), path, dim=len(q), nbits=8)
     return SIM.lsh_index_topk(spark.read.parquet(path), q, k=10, nbits=8, radius=2)
@@ -657,11 +666,32 @@ def q_parse_tokens_rule(spark, sf):  # P10/P11 rule keywords end-to-end:
     )
 
 
-def q_lsh_bucket_stats(spark, sf):  # 'no silent caps': dropped-bucket count
-    # cap=2 so sf0.01 (max bucket 3) actually drops something — non-vacuous
+def q_dedup_index_incremental(spark, sf):
+    # Persistent incremental MinHash dedup index (ops/dedup_index): sign
+    # half the corpus, APPEND the other half (manifest-guarded
+    # pure-function construction — append ≡ rebuild, tested), then dedup
+    # the odd-doc delta against the STORED index. Corpus text is never
+    # re-read at query time; est_jaccard comes from the signatures alone.
+    # The oracle recomputes everything from scratch — index-served must
+    # equal from-scratch exactly.
+    from sagan_spark.ops import dedup_index as DIX
+
     d = _t(spark, sf, "documents")
-    sig = D.minhash_signature(D.shingles(d), num_hashes=8)
-    return D.lsh_bucket_stats(sig, bands=4, rows_per_band=2, max_bucket=2)
+    corpus = d.where(F.col("doc_id") % 2 == 0)
+    delta = d.where(F.col("doc_id") % 2 == 1)
+    path = _scratch_dir(sf, "dedup_idx_nh8")
+    DIX.write_dedup_index(corpus.where(F.col("doc_id") % 4 == 0), path, num_hashes=8)
+    DIX.append_to_dedup_index(corpus.where(F.col("doc_id") % 4 == 2), path, num_hashes=8)
+    idx = DIX.read_dedup_index(spark, path, num_hashes=8)
+    pairs = DIX.dedup_index_candidates(idx, delta, num_hashes=8, max_bucket=None)
+    return pairs.select(
+        F.count("*").alias("cross_pairs"),
+        F.coalesce(F.round(F.sum("est_jaccard"), 2), F.lit(0.0)).alias("est_sum"),
+        F.coalesce(
+            F.sum(F.when(F.col("est_jaccard") >= 0.5, 1).otherwise(0)).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("probable_dups"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -707,7 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_dups": q_minhash_lsh_dups,
-        "lsh_bucket_stats": q_lsh_bucket_stats,
+        "dedup_index_incremental": q_dedup_index_incremental,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dups": q_embedding_near_dups,
         "simhash_portable": q_simhash_portable,
@@ -1036,8 +1066,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
               FROM bands l JOIN bands r
                 ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-               AND l.doc_id < r.doc_id)
-            SELECT COUNT(*) AS candidate_pairs FROM pairs""".format(
+               AND l.doc_id < r.doc_id),
+            per AS (
+              SELECT band_idx, band_hash, COUNT(*) AS bn,
+                     COUNT(DISTINCT doc_id) AS docs
+              FROM bands GROUP BY band_idx, band_hash)
+            SELECT (SELECT COUNT(*) FROM pairs) AS candidate_pairs,
+                   CAST(COUNT(*) AS BIGINT) AS buckets,
+                   CAST(SUM(CASE WHEN bn > 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS dropped_buckets,
+                   CAST(SUM(CASE WHEN bn > 2 THEN docs ELSE 0 END) AS BIGINT)
+                     AS docs_in_dropped
+            FROM per""".format(
             mins=",\n                     ".join(
                 f"MIN(substring(md5('{i}:' || shingle), 1, 16)) AS h{i}" for i in range(8)
             )
@@ -1134,7 +1174,10 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 'video' END AS kind
                   FROM documents)
             GROUP BY kind""".format(hdr=_PNG_HDR_HEX_SQL),
-        "lsh_bucket_stats": """
+        "dedup_index_incremental": """
+            -- from-scratch recomputation of the INDEX-served incremental
+            -- dedup result: even doc_ids are the stored corpus, odd the
+            -- delta; est_jaccard = fraction of agreeing minhash components
             WITH toks AS (
               SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
             sh AS (
@@ -1148,23 +1191,30 @@ def oracle_sql() -> dict[str, str]:
                      {mins}
               FROM sh2 GROUP BY doc_id),
             bands AS (
-              SELECT doc_id, 0 AS band_idx, h0 || '|' || h1 AS band_hash FROM sig
-              UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
-              UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
-              UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
-            per AS (
-              SELECT band_idx, band_hash, COUNT(*) AS bn,
-                     COUNT(DISTINCT doc_id) AS docs
-              FROM bands GROUP BY band_idx, band_hash)
-            SELECT CAST(COUNT(*) AS BIGINT) AS buckets,
-                   CAST(SUM(CASE WHEN bn > 2 THEN 1 ELSE 0 END) AS BIGINT)
-                     AS dropped_buckets,
-                   CAST(SUM(CASE WHEN bn > 2 THEN docs ELSE 0 END) AS BIGINT)
-                     AS docs_in_dropped
-            FROM per""".format(
+              SELECT doc_id, '0:' || h0 || '|' || h1 AS band FROM sig
+              UNION ALL SELECT doc_id, '1:' || h2 || '|' || h3 FROM sig
+              UNION ALL SELECT doc_id, '2:' || h4 || '|' || h5 FROM sig
+              UNION ALL SELECT doc_id, '3:' || h6 || '|' || h7 FROM sig),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bands l JOIN bands r ON l.band = r.band
+              WHERE l.doc_id % 2 = 0 AND r.doc_id % 2 = 1),
+            est AS (
+              SELECT p.a, p.b, ROUND(({agree}) / 8.0, 6) AS ej
+              FROM pairs p
+              JOIN sig sa ON sa.doc_id = p.a
+              JOIN sig sb ON sb.doc_id = p.b)
+            SELECT COUNT(*) AS cross_pairs,
+                   COALESCE(ROUND(SUM(ej), 2), 0.0) AS est_sum,
+                   CAST(COALESCE(SUM(CASE WHEN ej >= 0.5 THEN 1 ELSE 0 END), 0)
+                     AS BIGINT) AS probable_dups
+            FROM est""".format(
             mins=",\n                     ".join(
                 f"MIN(substring(md5('{i}:' || shingle), 1, 16)) AS h{i}" for i in range(8)
-            )
+            ),
+            agree=" + ".join(
+                f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(8)
+            ),
         ),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_lsh_index_topk": _ann_lsh_sql(nbits=8, radius=2),

@@ -45,6 +45,16 @@ def duck(sf_dir):
     con.close()
 
 
+def test_registry_within_driver_window():
+    """The driver records at most the FIRST 50 queries() entries (observed
+    r01/r02): stay at ≤50 with the pipeline-level entries first, and never
+    ship an oracle for a key the driver won't run."""
+    q = entrymod.queries()
+    assert len(q) <= 50, f"{len(q)} entries — driver records only the first 50"
+    assert set(entrymod.oracle_sql()).issubset(q.keys())
+    assert list(q)[:2] == ["pipeline_sink_counts", "parse_tokens_rule"]
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.limit(5).collect()
