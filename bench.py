@@ -241,7 +241,22 @@ def main() -> None:
         # min-of-3 like the pipeline legs: single-run operator timings on
         # this VM are noise (r2: 6.7s driver vs 1.9s re-run for the same
         # query) — the recorded number must be a reproducible minimum
-        df = qs[name](spark, sf_dir)
+        if name == "minhash_lsh_dups":
+            # the registry entry grew a second (bucket-stats) branch when
+            # the driver rows merged (r6); the LEG keeps timing the
+            # original uncapped pair count so expected.json minima and
+            # cross-round comparisons stay apples-to-apples
+            from pyspark.sql import functions as F
+
+            from sagan_spark.ops import dedup as D
+
+            d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            sig = D.minhash_signature(D.shingles(d), num_hashes=8)
+            df = D.lsh_candidate_pairs(
+                sig, bands=4, rows_per_band=2, max_bucket=None
+            ).select(F.count("*").alias("candidate_pairs"))
+        else:
+            df = qs[name](spark, sf_dir)
         run(name, lambda df=df: df.write.format("noop").mode("overwrite").save(), repeats=3)
 
     def _dedup_clusters() -> None:
