@@ -212,25 +212,39 @@ def dedup_index_candidates(
     ops/dedup.lsh_candidate_pairs; use dedup_index_bucket_stats to surface
     what a cap drops. ``min_est`` filters the estimate (e.g. 0.5 for
     "probable near-dup")."""
+    return candidates_from_sigs(
+        index,
+        build_dedup_index(new_docs, text_col, id_col, w, num_hashes),
+        id_col=id_col,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket=max_bucket,
+        min_est=min_est,
+    )
+
+
+def candidates_from_sigs(
+    left_sig: DataFrame,
+    right_sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int | None = 1000,
+    min_est: float | None = None,
+) -> DataFrame:
+    """Candidate pairs between two already-signed sets: (a = left id,
+    b = right id, est_jaccard), a ≠ b. The signature-level core of
+    dedup_index_candidates; streaming dedup signs each micro-batch ONCE
+    and reuses the signatures for both the index join and the
+    within-batch self-join (filter a < b on left == right)."""
     from pyspark.sql import Window
 
-    left = _banded(index, id_col, bands, rows_per_band).alias("l")
-    right = _banded(
-        build_dedup_index(new_docs, text_col, id_col, w, num_hashes),
-        id_col,
-        bands,
-        rows_per_band,
-    ).alias("r")
+    left = _banded(left_sig, id_col, bands, rows_per_band).alias("l")
+    right = _banded(right_sig, id_col, bands, rows_per_band).alias("r")
     if max_bucket is not None:
         win = Window.partitionBy("_band")
-        left = (
-            left.withColumn("_ln", F.count("*").over(win))
-            .alias("l")
-        )
-        right = (
-            right.withColumn("_rn", F.count("*").over(win))
-            .alias("r")
-        )
+        left = left.withColumn("_ln", F.count("*").over(win)).alias("l")
+        right = right.withColumn("_rn", F.count("*").over(win)).alias("r")
     joined = left.join(
         right,
         (F.col("l._band") == F.col("r._band"))
