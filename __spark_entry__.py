@@ -35,14 +35,37 @@ ANN_NBITS = 16
 ANN_RADIUS = 6
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+    """Read one sf table. ``spread=True`` applies the guide's
+    unsplittable-input fix: the sf tables are single-file parquet with
+    1-6 row groups, so a bare scan — and every narrow stage on top of it
+    (regex batteries, JSON extraction, per-row vector math) — runs in
+    1-6 tasks regardless of cores (parquet splits at row-group
+    granularity). Queries whose pre-exchange per-row work is heavy opt in
+    and get a repartition right after the read; queries whose first
+    exchange arrives cheaply (plain aggregates, window functions) keep
+    the bare scan — for them the extra shuffle only adds cost (measured
+    both ways at sf0.1/sf1.0, see OPTIMIZATION_r07.md). The repartition
+    only fires when the scan has fewer splits than cores, so at
+    production scale (thousands of splits) it is a no-op."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if spread:
+        p = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < p:
+            df = df.repartition(p)
+    return df
 
 
 def events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S3: JSON-lines input + field mapping ([PUB src/input-json.c]) —
-    map the events table onto the transcript input contract."""
-    ev = _t(spark, sf_dir, "events")
+    map the events table onto the transcript input contract.
+
+    spread=True: the JSON k-extraction + text synthesis are heavy per-row
+    work that the planner may place BEFORE the turn-index window's
+    exchange — on the single-row-group events file that serializes ~2s/M
+    rows of JSON parsing onto one core (measured sf1.0: full mapping
+    6.1s → 2.5s with the scan spread)."""
+    ev = _t(spark, sf_dir, "events", spread=True)
     role = (
         F.when(F.col("event_type") == "view", "user")
         .when(F.col("event_type") == "click", "tool")
@@ -164,7 +187,7 @@ def q_meta_content(spark, sf):  # P9 meta_content alternation
 
 
 def q_grok_extract(spark, sf):  # P13 named-group extraction
-    e = _t(spark, sf, "events")
+    e = _t(spark, sf, "events", spread=True)
     return (
         e.select(F.regexp_extract("props", '"k": ([0-9]+)', 1).alias("k"))
         .groupBy("k")
@@ -173,7 +196,7 @@ def q_grok_extract(spark, sf):  # P13 named-group extraction
 
 
 def q_parse_tokens_numeric(spark, sf):  # P10-P12 positional extraction family
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return d.select(
         F.sum(F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0))).cast("long").alias(
             "numeric_tokens"
@@ -344,7 +367,7 @@ def q_union_merge(spark, sf):  # per-rule alert stream merge
 
 
 def q_json_extract(spark, sf):  # S2 JSON field mapping
-    e = _t(spark, sf, "events")
+    e = _t(spark, sf, "events", spread=True)
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         e.groupBy("event_type")
@@ -409,7 +432,7 @@ def q_dedup_exact(spark, sf):
 def q_doc_fingerprint(spark, sf):  # normalized + rolling (order-sensitive)
     # fingerprints in one entry (former rolling_fingerprint merged — see
     # q_token_count note on the driver's 50-row window)
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return d.select(
         T.fingerprint(F.col("text")).alias("fp"),
         T.rolling_fingerprint(F.col("text")).alias("rfp"),
@@ -424,7 +447,7 @@ def q_token_count(spark, sf):  # whitespace + BPE-ish tokenization, one row set
     # (merged with the former token_count_bpe entry: the driver records at
     # most 50 CORRECTNESS rows, so related operators share an entry — both
     # token counters stay independently exercised and oracle-checked here)
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return d.groupBy("lang").agg(
         F.sum(T.token_count(F.col("text"))).cast("long").alias("tokens"),
         F.sum(T.token_count_bpe(F.col("text"))).cast("long").alias("tokens_bpe"),
@@ -435,7 +458,7 @@ def q_token_count(spark, sf):  # whitespace + BPE-ish tokenization, one row set
 def q_quality_battery(spark, sf):  # length/punct/stopword quality ratios
     # + the scalar quality_score (former quality_score entry, merged — see
     # q_token_count note on the driver's 50-row window)
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return d.groupBy("source").agg(
         F.round(F.avg(T.alpha_ratio(F.col("text"))), 4).alias("avg_alpha"),
         F.round(F.avg(T.punct_ratio(F.col("text"))), 4).alias("avg_punct"),
@@ -445,7 +468,7 @@ def q_quality_battery(spark, sf):  # length/punct/stopword quality ratios
 
 
 def q_lang_id(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return d.groupBy(T.lang_guess(F.col("text")).alias("predicted")).agg(
         F.count("*").alias("n")
     )
@@ -489,7 +512,7 @@ def q_ngram_jaccard(spark, sf):
 
 
 def q_embedding_near_dups(spark, sf):  # embedding-cosine near-dup dedup
-    emb = _t(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings", spread=True)
     pairs = D.embedding_near_dups(emb, threshold=0.25, nbits=8)
     return pairs.select(
         F.count("*").alias("pairs"),
@@ -498,7 +521,7 @@ def q_embedding_near_dups(spark, sf):  # embedding-cosine near-dup dedup
 
 
 def q_simhash_portable(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return D.simhash_portable(d, bits=16).select(
         F.countDistinct("simhash").alias("distinct_hashes"),
         F.sum("simhash").cast("long").alias("hash_sum"),
@@ -507,7 +530,7 @@ def q_simhash_portable(spark, sf):
 
 
 def q_ann_threshold(spark, sf):
-    emb = _t(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings", spread=True)
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     sim = SIM.cosine(F.col("embedding"), SIM._qlit(q))
     return (
@@ -518,13 +541,13 @@ def q_ann_threshold(spark, sf):
 
 
 def q_ann_brute_topk(spark, sf):
-    emb = _t(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings", spread=True)
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return SIM.brute_topk(emb.where(F.col("vec_id") != 0), q, k=10)
 
 
 def q_ann_lsh_topk(spark, sf):  # scale path; oracle inlines the seeded planes
-    emb = _t(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings", spread=True)
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return SIM.lsh_bucketed_topk(
         emb.where(F.col("vec_id") != 0), q, k=10, nbits=ANN_NBITS, radius=ANN_RADIUS
@@ -571,7 +594,7 @@ def q_ann_lsh_index_topk(spark, sf):  # repeated-query scale path: the
 
 
 def q_ann_ivf_topk(spark, sf):  # centroid sample is md5-portable → SQL oracle
-    emb = _t(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings", spread=True)
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return SIM.ivf_topk(
         emb.where(F.col("vec_id") != 0), q, k=10, ncentroids=8, nprobe=2
@@ -579,7 +602,7 @@ def q_ann_ivf_topk(spark, sf):  # centroid sample is md5-portable → SQL oracle
 
 
 def q_embedding_norms(spark, sf):
-    emb = _t(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings", spread=True)
     return emb.groupBy("label").agg(
         F.round(F.avg(SIM.norm(F.col("embedding"))), 4).alias("avg_norm"),
         F.count("*").alias("n"),

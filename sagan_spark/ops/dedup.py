@@ -31,9 +31,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(fp, F.col(id_col)).groupBy("fp").agg(F.min(id_col).alias(id_col))
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: int = 3) -> DataFrame:
-    """Distinct w-word shingles per doc: (id, shingle). Pure SQL HOFs:
-    tokens → transform over sliding offsets → filter full windows."""
+def _shingle_arrays(text_col: str, w: int):
+    """Column of the per-row DISTINCT non-empty w-word shingle array —
+    the array-valued core shared by the exploded `shingles` form and the
+    shuffle-free signature fast path."""
     toks = F.split(F.lower(F.col(text_col)), " ")
     n = F.size(toks)
     idxs = F.sequence(F.lit(0), F.greatest(n - F.lit(w), F.lit(0)))
@@ -41,10 +42,22 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: i
         idxs,
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w)),
     )
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .where(F.length("shingle") > 0)
+    return F.filter(F.array_distinct(sh), lambda s: F.length(s) > 0)
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: int = 3) -> DataFrame:
+    """Distinct w-word shingles per doc: (id, shingle). Pure SQL HOFs:
+    tokens → transform over sliding offsets → filter full windows.
+
+    The returned DataFrame carries provenance (`_sagan_shingles`) so that
+    minhash_signature can rebuild the per-doc shingle ARRAY from the
+    source and skip the explode → groupBy shuffle entirely (min over the
+    array ≡ min over the exploded distinct rows — r7 fast path)."""
+    out = df.select(
+        F.col(id_col), F.explode(_shingle_arrays(text_col, w)).alias("shingle")
     )
+    out._sagan_shingles = {"df": df, "text_col": text_col, "id_col": id_col, "w": w}
+    return out
 
 
 def minhash_signature(
@@ -52,9 +65,77 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, sig array<string>): per-seed min of md5-based shingle hashes.
 
-    Portable: md5(seed || ':' || shingle) first 16 hex chars; min() is a
-    plain groupBy aggregate — map-side combine keeps the shuffle tiny.
-    """
+    Portable: md5(seed || ':' || shingle) first 16 hex chars.
+
+    Plan (r7): when ``sh`` comes straight from `shingles` (provenance
+    attribute), the whole shingle → hash → per-seed-min computation runs
+    in ONE mapInPandas kernel over (id, text) — ZERO shuffle, and the
+    md5s run through hashlib's C implementation instead of 8 interpreted
+    higher-order-function passes (Spark HOFs are CodegenFallback, and
+    the transform/slice/concat_ws shingle construction alone cost more
+    than the whole Python kernel — measured at sf1.0: 23.9s exploded /
+    38.1s array-HOF / ~2s kernel for the 50k-doc signature). The kernel
+    reproduces the JVM semantics exactly on ASCII text — Python
+    str.lower()/split(" ")/" ".join match Spark lower()/split/concat_ws,
+    and hashlib md5 hex == Spark md5 — and the equality is pinned by
+    test_minhash_fast_path_equals_exploded_path (including empty/null/
+    short-text edge rows). Any other input takes the original
+    explode → groupBy path — map-side combine keeps that shuffle tiny."""
+    src = getattr(sh, "_sagan_shingles", None)
+    if src is not None and src["id_col"] == id_col:
+        import pandas as pd
+
+        text_col, w = src["text_col"], src["w"]
+        prefixes = [f"{i}:".encode() for i in range(num_hashes)]
+
+        def sign(batches):
+            import hashlib
+
+            md5 = hashlib.md5
+            for pdf in batches:
+                ids: list = []
+                sigs: list = []
+                for did, text in zip(pdf[id_col].values, pdf[text_col].values):
+                    if text is None or (isinstance(text, float) and pd.isna(text)):
+                        continue
+                    toks = text.lower().split(" ")
+                    upper = max(len(toks) - w, 0)
+                    seen: set = set()
+                    mins = [None] * num_hashes
+                    for i in range(upper + 1):
+                        s = " ".join(toks[i : i + w])
+                        if not s or s in seen:
+                            continue
+                        seen.add(s)
+                        sb = s.encode("utf-8")
+                        for k in range(num_hashes):
+                            h = md5(prefixes[k] + sb).hexdigest()[:16]
+                            if mins[k] is None or h < mins[k]:
+                                mins[k] = h
+                    if mins[0] is None:  # no non-empty shingle → no sig row
+                        continue
+                    ids.append(did)
+                    sigs.append(mins)
+                # object dtype both ways: an empty batch would otherwise
+                # default to float64 columns, which Arrow cannot convert
+                # to array<string>
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(ids, dtype="object"),
+                        "sig": pd.Series(sigs, dtype="object"),
+                    }
+                )
+
+        id_type = dict(src["df"].select(id_col).dtypes)[id_col]
+        narrow = src["df"].select(F.col(id_col), F.col(text_col))
+        # single-file inputs scan as 1 task (row-group granularity) and
+        # would serialize the kernel on one core — spread them first;
+        # no-op whenever the scan already has ≥ cores splits
+        spark = narrow.sparkSession
+        p = spark.sparkContext.defaultParallelism
+        if narrow.rdd.getNumPartitions() < p:
+            narrow = narrow.repartition(p)
+        return narrow.mapInPandas(sign, schema=f"{id_col} {id_type}, sig array<string>")
     aggs = [
         F.min(F.substring(F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("shingle")), "utf-8")), 1, 16)).alias(
             f"h{i}"
@@ -83,6 +164,18 @@ def lsh_candidate_pairs(
     (their members are near-identical boilerplate, which exact dedup
     already collapses); use lsh_bucket_stats to surface how many buckets/
     docs a given cap drops instead of silently truncating. None = uncapped.
+
+    Plan (r7): ONE aggregation on the band key (collect_list of member
+    ids), then pair generation from the sorted member array — instead of
+    the former banded self-join. Identical pair set (i < j over the
+    sorted members ≡ l.id < r.id within the bucket, then distinct), but:
+    one exchange of (band, id) rows instead of sort-merge-joining both
+    sides, the cap is a free size() filter on the collected array instead
+    of a window pass, and per-row memory stays bounded by ONE bucket's
+    member list (each member row pairs with its slice of the array, so no
+    |bucket|²-sized array is ever materialized). With the signature
+    kernel (minhash_signature fast path) the uncapped pair-count leg
+    measured 27.0s → 1.7s at sf1.0 (50k docs, min-of-3).
     """
     banded = sig.select(
         F.col(id_col),
@@ -93,29 +186,25 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
+        F.collect_list(id_col).alias("_members")
+    )
     if max_bucket is not None:
-        # bucket size via a WINDOW over the self-join's own shuffle key —
-        # one Exchange + Sort, no second aggregate-and-join. Measured at
-        # sf0.1 (min-of-3, local[32]): uncapped 3.5s, groupBy+join cap
-        # 4.5s (+26%), this window cap 3.9s (+9%); identical pair sets.
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band_idx", "band_hash")
-        banded = (
-            banded.withColumn("_bucket_n", F.count("*").over(w))
-            .where(F.col("_bucket_n") <= max_bucket)
-            .drop("_bucket_n")
-        )
-    left = banded.alias("l")
-    right = banded.alias("r")
+        buckets = buckets.where(F.size("_members") <= max_bucket)
+    members = buckets.select(
+        F.array_sort("_members").alias("_m")
+    ).select(F.posexplode("_m").alias("_i", "a"), F.col("_m"))
     return (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        members.select(
+            F.col("a"),
+            F.explode(
+                F.slice(F.col("_m"), F.col("_i") + 2, F.size("_m") - F.col("_i") - 1)
+            ).alias("b"),
         )
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        # a < b strictly (the sorted slice gives a <= b; equality can only
+        # arise from duplicate ids in the input, which the old self-join's
+        # l.id < r.id condition also excluded)
+        .where(F.col("a") != F.col("b"))
         .distinct()
     )
 
@@ -160,79 +249,109 @@ def dedup_clusters(
     the dedup chain (exact/LSH/cosine pairs → clusters → keep one survivor
     per cluster). Returns (doc_id, cluster).
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes min(own label, neighbors' labels) via ONE join + ONE groupBy on
-    the undirected edge list; stop when no label changes (checked with a
-    count on the same pass). Rounds needed = component diameter, which for
-    near-dup clusters is tiny (boilerplate families are dense, quasi-
-    cliques). 100 TB shape: each round is a self-contained shuffle pair on
-    the node id; lineage is truncated per round (localCheckpoint) so the
-    plan stays O(1) deep instead of O(iters); the driver sees only a
-    one-row convergence count per round. For adversarial long-chain graphs
-    switch to large-star/small-star contraction (O(log n) rounds, same
-    join primitives) — not needed for dedup workloads.
+    Algorithm (r7): min-label propagation WITH pointer jumping — each
+    round every node takes min(own label, neighbors' labels) and then
+    follows its label's own label (``L(v) ← L(L(v))``). The jump doubles
+    the distance information travels per round, so convergence needs
+    O(log diameter) rounds instead of O(diameter): a plain propagation
+    loop failed to converge in 20 rounds on the sf1.0 documents table
+    (long near-dup chains), where this converges in a handful. Labels
+    only ever decrease and stay node ids, so the fixed point is identical
+    to plain propagation (min id of the component — union-find/DuckDB
+    differential-tested).
+
+    100 TB shape: the edge list is persisted ONCE pre-partitioned on its
+    join key, so the per-round neighbor join never re-exchanges the
+    (large) edge side; neighbor-min is a union + groupBy whose map-side
+    partial aggregation ships ~|nodes| rows per round, not |edges|; the
+    pointer-jump probe is the round's only other exchange. Lineage is
+    truncated EVERY round (localCheckpoint) — labels appear twice per
+    round and the aggregate twice, so an un-truncated plan quadruples
+    per round and kills the driver in plan analysis long before any
+    executor works hard. The driver sees only a one-row convergence
+    count per round.
 
     Output columns are always (``doc_id``, ``cluster``) regardless of the
     input pair column names (dedup_survivors relies on that contract).
     Raises after ``max_iters`` non-converged rounds (loud beats silently
-    wrong clusters).
+    wrong clusters) — with jumping, 20 rounds covers diameters ~2^20.
     """
     from pyspark import StorageLevel
 
+    spark = pairs.sparkSession
     fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("cluster", F.col("node"))
-        .localCheckpoint()
+    # ONE persisted copy of the edge list, pre-partitioned on its join key:
+    # every round's neighbor join reuses this partitioning, so the (large)
+    # edge side never crosses an exchange again — only the (small) label
+    # table moves per round.
+    edges = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(F.col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    prev = None  # previous round's materialized labels, dropped each round
+    edges.count()  # materialize the cache before the loop
+    labels = edges.select(F.col("dst").alias("node")).distinct().select(
+        "node", F.col("node").alias("cluster")
+    )  # hash(node, sess) — co-partitioned with edges, zero extra exchange
+    prev = None  # previous round's materialized label aggregate
     try:
         for i in range(max_iters):
-            neighbor_min = (
-                edges.join(labels, edges.dst == labels.node)
-                .groupBy("src")
-                .agg(F.min("cluster").alias("nmin"))
+            # neighbors' labels: co-partitioned hash join (edges cached as
+            # hash(dst, parts); labels is hash(node, parts) every round)
+            nb = (
+                edges.join(labels.hint("shuffle_hash"), edges.dst == labels.node)
+                .select(F.col("src").alias("node"), F.col("cluster"))
+                .withColumn("_own", F.lit(False))
             )
-            merged = (
-                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-                .select(
-                    "node",
-                    "cluster",
-                    F.least(F.col("cluster"), F.coalesce("nmin", F.col("cluster"))).alias(
-                        "new_cluster"
-                    ),
+            cand = nb.unionByName(labels.withColumn("_own", F.lit(True)))
+            # groupBy directly (no pre-repartition): partial map-side
+            # aggregation collapses the per-edge rows to per-node rows
+            # BEFORE the exchange — the round's one label shuffle ships
+            # ~|nodes| rows, not |edges|
+            agg = (
+                cand.groupBy("node")
+                .agg(
+                    F.min("cluster").alias("c1"),
+                    # each node contributes its own label exactly once
+                    F.min(F.when(F.col("_own"), F.col("cluster"))).alias("old"),
                 )
             )
-            # Storage stays bounded at ~2 label-set copies: each round is
-            # materialized (persist + count — the count also decides
-            # convergence from the cached blocks), and the PREVIOUS round
-            # is explicitly unpersisted once the new one exists. Every 5th
-            # round a localCheckpoint replaces the persist to truncate
-            # lineage (analysis cost stays O(1) instead of O(iters));
-            # dropped checkpoint blocks are reclaimed by the ContextCleaner
-            # once `prev` stops referencing them.
-            if (i + 1) % 5 == 0:
-                merged = merged.localCheckpoint()
-            else:
-                merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
-            changed = merged.where(F.col("cluster") != F.col("new_cluster")).count()
+            # Lineage MUST truncate every round: labels appears twice in
+            # the round's plan (neighbor join + union) and agg twice (jump
+            # join), so an un-truncated plan quadruples per round — by
+            # round 5 the optimizer is walking ~4^5 copies of the full
+            # upstream lineage and dies in analysis, not execution.
+            # localCheckpoint is eager, materializes only ~|nodes| rows,
+            # and replaces the logical plan with a flat LogicalRDD; its
+            # blocks are reclaimed by the ContextCleaner when the frame
+            # is garbage-collected, so no manual unpersist bookkeeping.
+            agg = agg.localCheckpoint()
+            # pointer jump: follow the freshly-computed label's own label.
+            # c1 is always a node id, so the left join always matches; the
+            # probe side pays the round's second (and last) exchange.
+            jump = agg.select(F.col("node").alias("_jn"), F.col("c1").alias("_jc"))
+            merged = (
+                agg.join(jump.hint("shuffle_hash"), agg.c1 == F.col("_jn"), "left")
+                .select(
+                    "node",
+                    "old",
+                    F.coalesce("_jc", "c1").alias("cluster"),
+                )
+            )
+            changed = merged.where(F.col("old") != F.col("cluster")).count()
             if prev is not None:
                 prev.unpersist()
-            prev = merged
-            labels = merged.select("node", F.col("new_cluster").alias("cluster"))
+            prev = agg
+            labels = merged.select("node", "cluster").repartition(F.col("node"))
             if changed == 0:
-                out = labels.select(
+                out = merged.select(
                     F.col("node").alias("doc_id"), "cluster"
                 ).localCheckpoint()
                 return out
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds — "
-            "component diameter exceeds the dedup assumption; use star "
-            "contraction for this graph"
+            f"component diameter exceeds ~2^{max_iters} under pointer "
+            "jumping; the pair graph is not a dedup graph"
         )
     finally:
         edges.unpersist()

@@ -46,6 +46,12 @@ from ..fsutil import fs_write_text as _fs_write_text
 
 
 def dot(a: Column, b: Column) -> Column:
+    # NOTE (r7): an unrolled fixed-dim variant (64 explicit get()+multiply
+    # terms instead of the interpreted zip_with/aggregate fold) was built
+    # and measured — it saved nothing once scan parallelism was fixed
+    # (the HOF runtime was never the bottleneck) and added ~2s of fixed
+    # Janino/codegen compile cost per query at 64 dims. Measured sf0.1
+    # embedding_near_dups: 0.30s all-HOF vs 2.49s unrolled. Keep the fold.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

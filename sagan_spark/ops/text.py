@@ -78,16 +78,26 @@ def rolling_fingerprint(text: Column) -> Column:
 
 _STOPWORDS = ("the", "and", "of", "to", "a", "in", "is")
 
+# r7: the ratio kernels count char-class members via translate() — one
+# codegen'd pass deleting an explicit ASCII char list — instead of
+# regexp_replace. Counts are identical ([A-Za-z] etc. are exactly these
+# code points; verified mismatch-free on the corpus), and the negated
+# class '[^A-Za-z0-9 ]' regex in particular cost 6× the translate
+# (2.41s → 0.38s over 50k docs at sf1.0, min-of-3).
+_LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_ALNUM_SPACE = _LETTERS + "0123456789 "
+
 
 def alpha_ratio(text: Column) -> Column:
     n = F.length(text)
-    alpha = n - F.length(F.regexp_replace(text, "[A-Za-z]", ""))
+    alpha = n - F.length(F.translate(text, _LETTERS, ""))
     return F.round(alpha / F.greatest(n, F.lit(1)), 4)
 
 
 def punct_ratio(text: Column) -> Column:
     n = F.length(text)
-    punct = n - F.length(F.regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+    # chars outside [A-Za-z0-9 ] = what survives deleting that class
+    punct = F.length(F.translate(text, _ALNUM_SPACE, ""))
     return F.round(punct / F.greatest(n, F.lit(1)), 4)
 
 

@@ -154,6 +154,90 @@ def test_lsh_cap_bounds_pathological_bucket(spark):
     assert stats.docs_in_dropped >= 1000
 
 
+def test_minhash_fast_path_equals_exploded_path(spark):
+    """r7 internals change: minhash_signature computes the signature as a
+    shuffle-free per-row array_min when its input carries the `shingles`
+    provenance attribute. The fast path must equal the original
+    explode → groupBy path bit-for-bit (same md5 seed prefixes, same
+    docs-with-no-shingles exclusion), including on empty/null/short
+    texts."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, ""),  # no shingles → absent from sig in both paths
+        (3, None),  # null text → absent in both paths
+        (4, "one two"),  # shorter than w → single partial window
+        (5, "dup dup dup dup dup"),  # duplicate shingles
+        (6, "Straße GROSS ÄÖÜ mixed CASE tokens here"),  # non-ASCII lower()
+        (7, "a  b   c double  spaces"),  # empty split tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sh = D.shingles(df)
+    fast = D.minhash_signature(sh, num_hashes=8)
+    # stripping the provenance attribute forces the original groupBy path
+    slow = D.minhash_signature(sh.select("doc_id", "shingle"), num_hashes=8)
+    f = {r.doc_id: tuple(r.sig) for r in fast.collect()}
+    s = {r.doc_id: tuple(r.sig) for r in slow.collect()}
+    assert f == s and 0 in f and 2 not in f and 3 not in f
+
+
+def test_lsh_pair_generation_equals_self_join(spark):
+    """r7 internals change: lsh_candidate_pairs generates pairs from the
+    per-bucket sorted member array instead of a banded self-join. Pin the
+    pair set (capped and uncapped) against an inline self-join oracle."""
+    rows = [(i, "shared boilerplate text block common to many docs") for i in range(8)]
+    rows += [(100 + i, f"unique text number {i} about {i * 31} topics") for i in range(12)]
+    # a 2-doc near-dup family that SURVIVES the cap (bucket size 2 ≤ 5),
+    # so the capped case still asserts a non-empty pair set
+    rows += [
+        (200, "rare near duplicate sentence about spark exchange reuse today"),
+        (201, "rare near duplicate sentence about spark exchange reuse now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sig = D.minhash_signature(D.shingles(df), num_hashes=8)
+
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.concat_ws("|", F.slice("sig", b * 2 + 1, 2)),
+            )
+        ).alias("bi", "bh"),
+    )
+    from pyspark.sql import Window
+
+    for cap in (None, 5):
+        got = {
+            (r.a, r.b)
+            for r in D.lsh_candidate_pairs(
+                sig, bands=4, rows_per_band=2, max_bucket=cap
+            ).collect()
+        }
+        bd = banded
+        if cap is not None:
+            w = Window.partitionBy("bi", "bh")
+            bd = (
+                banded.withColumn("_n", F.count("*").over(w))
+                .where(F.col("_n") <= cap)
+                .drop("_n")
+            )
+        lt, rt = bd.alias("l"), bd.alias("r")
+        want = {
+            (r.a, r.b)
+            for r in lt.join(
+                rt,
+                (F.col("l.bi") == F.col("r.bi"))
+                & (F.col("l.bh") == F.col("r.bh"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+            .distinct()
+            .collect()
+        }
+        assert got == want and got, f"cap={cap}"
+
+
 def test_lsh_index_topk_equals_one_shot(emb):
     """The precomputed-index path must return EXACTLY the one-shot form's
     result at the same (nbits, radius): the probe-signature IN set is by
