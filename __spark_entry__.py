@@ -521,7 +521,9 @@ def q_embedding_near_dups(spark, sf):  # embedding-cosine near-dup dedup
 
 
 def q_simhash_portable(spark, sf):
-    d = _t(spark, sf, "documents", spread=True)
+    # no spread= here: the simhash kernel spreads its own input (and the
+    # query-level repartition would only add a second exchange)
+    d = _t(spark, sf, "documents")
     return D.simhash_portable(d, bits=16).select(
         F.countDistinct("simhash").alias("distinct_hashes"),
         F.sum("simhash").cast("long").alias("hash_sum"),

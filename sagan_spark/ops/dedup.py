@@ -241,6 +241,13 @@ def lsh_bucket_stats(
     )
 
 
+# Edge-count ceiling under which dedup_clusters broadcasts the label table
+# per round instead of shuffle-hash-joining it (|labels| ≤ |edges|; ~1M
+# label rows build to tens of MB, safe for the 2g local driver). Module
+# level so tests can force the at-scale shuffle path on small fixtures.
+_BROADCAST_EDGE_CAP = 1_000_000
+
+
 def dedup_clusters(
     pairs: DataFrame, a: str = "a", b: str = "b", max_iters: int = 20
 ) -> DataFrame:
@@ -264,12 +271,17 @@ def dedup_clusters(
     join key, so the per-round neighbor join never re-exchanges the
     (large) edge side; neighbor-min is a union + groupBy whose map-side
     partial aggregation ships ~|nodes| rows per round, not |edges|; the
-    pointer-jump probe is the round's only other exchange. Lineage is
-    truncated EVERY round (localCheckpoint) — labels appear twice per
-    round and the aggregate twice, so an un-truncated plan quadruples
-    per round and kills the driver in plan analysis long before any
-    executor works hard. The driver sees only a one-row convergence
-    count per round.
+    pointer-jump probe is the round's only other exchange. On a SMALL
+    graph (edge count from the cache materialization under ~10⁶) the
+    label table broadcasts instead (guide §3.1) — both per-round joins
+    then run exchange-free, which at bench scale removes ~2 AQE stage
+    round-trips per round; the shuffle plan above is the at-scale shape.
+    Lineage is truncated EVERY round (localCheckpoint of the merged round
+    result — so the round's work, jump join included, executes exactly
+    once) — labels appear twice per round and the aggregate twice, so an
+    un-truncated plan quadruples per round and kills the driver in plan
+    analysis long before any executor works hard. The driver sees only a
+    one-row convergence count per round.
 
     Output columns are always (``doc_id``, ``cluster``) regardless of the
     input pair column names (dedup_survivors relies on that contract).
@@ -289,17 +301,29 @@ def dedup_clusters(
         .repartition(F.col("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    edges.count()  # materialize the cache before the loop
+    n_edges = edges.count()  # materialize the cache before the loop
+    # Scale-adaptive join strategy (guide §3.1): |labels| ≤ |edges|, and the
+    # edge count is already known from the cache materialization. On a
+    # small graph the label table broadcasts — every per-round join then
+    # runs with ZERO exchanges (the groupBy's is the round's only one),
+    # which at local/bench scale removes ~2 AQE stage round-trips per
+    # round. Past the threshold (≈tens of MB built) the co-partitioned
+    # shuffle-hash plan is the 100-TB shape: the cached edge side never
+    # re-exchanges, only the label table moves.
+    small_graph = n_edges <= _BROADCAST_EDGE_CAP
+    def _lbl(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_graph else df.hint("shuffle_hash")
     labels = edges.select(F.col("dst").alias("node")).distinct().select(
         "node", F.col("node").alias("cluster")
     )  # hash(node, sess) — co-partitioned with edges, zero extra exchange
-    prev = None  # previous round's materialized label aggregate
+    prev = None  # previous round's materialized label frame
     try:
         for i in range(max_iters):
-            # neighbors' labels: co-partitioned hash join (edges cached as
-            # hash(dst, parts); labels is hash(node, parts) every round)
+            # neighbors' labels: broadcast (small graph) or co-partitioned
+            # hash join (edges cached as hash(dst, parts); labels is
+            # hash(node, parts) every round)
             nb = (
-                edges.join(labels.hint("shuffle_hash"), edges.dst == labels.node)
+                edges.join(_lbl(labels), edges.dst == labels.node)
                 .select(F.col("src").alias("node"), F.col("cluster"))
                 .withColumn("_own", F.lit(False))
             )
@@ -316,6 +340,17 @@ def dedup_clusters(
                     F.min(F.when(F.col("_own"), F.col("cluster"))).alias("old"),
                 )
             )
+            # pointer jump: follow the freshly-computed label's own label.
+            # c1 is always a node id, so the left join always matches.
+            jump = agg.select(F.col("node").alias("_jn"), F.col("c1").alias("_jc"))
+            merged = (
+                agg.join(_lbl(jump), agg.c1 == F.col("_jn"), "left")
+                .select(
+                    "node",
+                    "old",
+                    F.coalesce("_jc", "c1").alias("cluster"),
+                )
+            )
             # Lineage MUST truncate every round: labels appears twice in
             # the round's plan (neighbor join + union) and agg twice (jump
             # join), so an un-truncated plan quadruples per round — by
@@ -324,30 +359,21 @@ def dedup_clusters(
             # localCheckpoint is eager, materializes only ~|nodes| rows,
             # and replaces the logical plan with a flat LogicalRDD; its
             # blocks are reclaimed by the ContextCleaner when the frame
-            # is garbage-collected, so no manual unpersist bookkeeping.
-            agg = agg.localCheckpoint()
-            # pointer jump: follow the freshly-computed label's own label.
-            # c1 is always a node id, so the left join always matches; the
-            # probe side pays the round's second (and last) exchange.
-            jump = agg.select(F.col("node").alias("_jn"), F.col("c1").alias("_jc"))
-            merged = (
-                agg.join(jump.hint("shuffle_hash"), agg.c1 == F.col("_jn"), "left")
-                .select(
-                    "node",
-                    "old",
-                    F.coalesce("_jc", "c1").alias("cluster"),
-                )
-            )
+            # is garbage-collected. Checkpointing MERGED (r7; was: agg)
+            # makes the round's whole work — including the jump join —
+            # execute exactly ONCE: the old shape re-ran the jump join in
+            # the convergence count and twice more via next round's two
+            # uses of `labels`.
+            merged = merged.localCheckpoint()
             changed = merged.where(F.col("old") != F.col("cluster")).count()
             if prev is not None:
                 prev.unpersist()
-            prev = agg
-            labels = merged.select("node", "cluster").repartition(F.col("node"))
+            prev = merged
+            labels = merged.select("node", "cluster")
+            if not small_graph:
+                labels = labels.repartition(F.col("node"))
             if changed == 0:
-                out = merged.select(
-                    F.col("node").alias("doc_id"), "cluster"
-                ).localCheckpoint()
-                return out
+                return merged.select(F.col("node").alias("doc_id"), "cluster")
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds — "
             f"component diameter exceeds ~2^{max_iters} under pointer "
@@ -355,8 +381,6 @@ def dedup_clusters(
         )
     finally:
         edges.unpersist()
-        if prev is not None:
-            prev.unpersist()
 
 
 def dedup_survivors(
@@ -489,12 +513,75 @@ def embedding_near_dups(
 
 
 def simhash_portable(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16,
+    kernel: bool = True,
 ) -> DataFrame:
     """Cross-engine-reproducible SimHash variant: token hash = first 8 hex
     chars of md5(token) as int; bit b of the fingerprint = majority vote of
-    token-hash bit b. ``bits`` kept small so the SQL oracle (one aggregate
-    per bit) stays readable. Same shuffle shape as simhash64."""
+    token-hash bit b (every occurrence votes). ``bits`` kept small so the
+    SQL oracle (one aggregate per bit) stays readable.
+
+    Plan (r7): by default the whole tokenize → md5 → majority-vote runs in
+    ONE mapInPandas kernel over (id, text) — ZERO shuffle (the explode →
+    17-partial-aggregate groupBy is gone), hashlib's C md5 instead of one
+    JVM md5 per token OCCURRENCE (the kernel memoizes per distinct token,
+    which the aggregate form cannot), and numpy popcount-style bit sums.
+    Python lower()/split(" ")/utf-8-md5 reproduce the JVM expressions
+    exactly on ASCII (same discipline as the minhash_signature fast path;
+    pinned by test_simhash_kernel_equals_column_path incl. null/empty/
+    non-ASCII/double-space rows). ``kernel=False`` keeps the original
+    Column path (the differential oracle)."""
+    if kernel:
+        import pandas as pd
+
+        def sim_kernel(batches):
+            import hashlib
+
+            import numpy as np
+
+            md5 = hashlib.md5
+            memo: dict[str, int] = {}
+            shifts = np.arange(bits, dtype=np.uint64)
+            for pdf in batches:
+                ids: list = []
+                sims: list = []
+                for did, text in zip(pdf[id_col].values, pdf[text_col].values):
+                    if text is None or (isinstance(text, float) and pd.isna(text)):
+                        continue
+                    hs = []
+                    for tok in text.lower().split(" "):
+                        if not tok:
+                            continue
+                        h = memo.get(tok)
+                        if h is None:
+                            h = int(md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+                            memo[tok] = h
+                        hs.append(h)
+                    n = len(hs)
+                    if n == 0:  # no non-empty token → no row (groupBy semantics)
+                        continue
+                    arr = np.asarray(hs, dtype=np.uint64)
+                    bit_sums = ((arr[:, None] >> shifts) & 1).sum(axis=0)
+                    sim = int(((bit_sums * 2 > n).astype(np.uint64) << shifts).sum())
+                    ids.append(did)
+                    sims.append(sim)
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(ids, dtype="object"),
+                        "simhash": pd.Series(sims, dtype="object"),
+                    }
+                )
+
+        id_type = dict(df.select(id_col).dtypes)[id_col]
+        narrow = df.select(F.col(id_col), F.col(text_col))
+        # single-file inputs scan as 1 task (row-group granularity) and
+        # would serialize the kernel on one core — spread them first;
+        # no-op whenever the scan already has ≥ cores splits
+        spark = narrow.sparkSession
+        p = spark.sparkContext.defaultParallelism
+        if narrow.rdd.getNumPartitions() < p:
+            narrow = narrow.repartition(p)
+        return narrow.mapInPandas(sim_kernel, schema=f"{id_col} {id_type}, simhash long")
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     ).where(F.length("tok") > 0)

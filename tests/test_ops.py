@@ -154,6 +154,32 @@ def test_lsh_cap_bounds_pathological_bucket(spark):
     assert stats.docs_in_dropped >= 1000
 
 
+def test_simhash_kernel_equals_column_path(spark):
+    """r7 internals change: simhash_portable computes the fingerprint in a
+    shuffle-free mapInPandas kernel by default. The kernel must equal the
+    original explode → bit-aggregate Column path exactly — same
+    every-occurrence voting, same no-token-row exclusion — including on
+    empty/null/non-ASCII/double-space texts, and at a non-default width."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, ""),  # no non-empty token → absent in both paths
+        (3, None),  # null text → absent in both paths
+        (4, "dup dup dup dup dup"),  # duplicate tokens each vote
+        (5, "Straße GROSS ÄÖÜ mixed CASE tokens here"),  # non-ASCII lower()
+        (6, "a  b   c double  spaces"),  # empty split tokens filtered
+        (7, "x"),  # single token
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    for bits in (16, 24):
+        fast = {r.doc_id: r.simhash for r in D.simhash_portable(df, bits=bits).collect()}
+        slow = {
+            r.doc_id: r.simhash
+            for r in D.simhash_portable(df, bits=bits, kernel=False).collect()
+        }
+        assert fast == slow and 0 in fast and 2 not in fast and 3 not in fast
+
+
 def test_minhash_fast_path_equals_exploded_path(spark):
     """r7 internals change: minhash_signature computes the signature as a
     shuffle-free per-row array_min when its input carries the `shingles`
@@ -522,6 +548,25 @@ def test_dedup_clusters_matches_union_find(spark):
     df = spark.createDataFrame(pairs, "a: long, b: long")
     got = {r.doc_id: r.cluster for r in D.dedup_clusters(df).collect()}
     assert got == _union_find(pairs)
+
+
+def test_dedup_clusters_shuffle_path_equals_broadcast_path(spark, monkeypatch):
+    """r7: small graphs broadcast the per-round label table; at scale the
+    co-partitioned shuffle-hash plan runs. Force the at-scale path on the
+    same fixture (broadcast cap → 0) and pin both paths to the union-find
+    oracle so the strategy switch can never change the labels."""
+    pairs = [
+        (1, 2), (2, 3), (3, 4), (4, 5),
+        (10, 11), (11, 12), (10, 12),
+        (20, 21),
+        (30, 31), (30, 32), (30, 33), (30, 34),
+    ]
+    df = spark.createDataFrame(pairs, "a: long, b: long")
+    want = _union_find(pairs)
+    small = {r.doc_id: r.cluster for r in D.dedup_clusters(df).collect()}
+    monkeypatch.setattr(D, "_BROADCAST_EDGE_CAP", 0)
+    big = {r.doc_id: r.cluster for r in D.dedup_clusters(df).collect()}
+    assert small == want and big == want
 
 
 def test_dedup_chain_end_to_end(spark):
