@@ -368,6 +368,73 @@ def _java_safe_pcre(p) -> bool:
     return True
 
 
+def _required_literal(pattern: str) -> str | None:
+    """Longest literal substring that EVERY match of ``pattern`` must
+    contain, or None when none can be derived safely. Used to guard
+    per-row ``rlike`` evaluation with a cheap substring scan (guide §1.2
+    step 2 / Sagan's fast-pattern idea applied to the JVM path): codegen's
+    lazy AND skips the regex machinery on rows that cannot match.
+
+    Deliberately conservative — any alternation, group, or character
+    class bails (their presence can make any literal optional), escapes
+    other than the known zero-width/class ones bail, and a token under a
+    ``?``/``*``/``{}`` quantifier is dropped from its run (``+`` keeps
+    the token — required at least once — but ends the run, since repeats
+    break adjacency). Returns runs of length ≥ 3 only; shorter guards
+    filter nothing."""
+    if any(c in pattern for c in "|(["):
+        return None
+    runs: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        tok: str | None
+        if ch == "\\":
+            if i + 1 >= n:
+                return None
+            nxt = pattern[i + 1]
+            if nxt in "wWdDsSbB":
+                tok = None  # class / zero-width escape: breaks the run
+            elif nxt.isalnum():
+                return None  # backref, \A/\Z, \p… — bail, stay safe
+            else:
+                tok = nxt  # escaped literal metachar
+            i += 2
+        elif ch in "^$.":
+            tok = None
+            i += 1
+        elif ch in "?*+{}":
+            return None  # dangling quantifier / brace — bail
+        else:
+            tok = ch
+            i += 1
+        if i < n and pattern[i] in "?*+{":
+            q = pattern[i]
+            if q == "{":
+                j = pattern.find("}", i)
+                if j < 0:
+                    return None
+                i = j + 1
+            else:
+                i += 1
+            if i < n and pattern[i] == "?":  # lazy marker
+                i += 1
+            if q == "+" and tok is not None:
+                cur.append(tok)  # x+ requires one x; adjacency still breaks
+            runs.append("".join(cur))
+            cur = []
+            continue
+        if tok is None:
+            runs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(tok)
+    runs.append("".join(cur))
+    best = max(runs, key=len, default="")
+    return best if len(best) >= 3 else None
+
+
 def native_compilable(rule: Rule) -> bool:
     if rule.groks or rule.field_conds:
         return False
@@ -396,7 +463,13 @@ def native_compilable(rule: Rule) -> bool:
     return True
 
 
-def _native_cond(rule: Rule, folded) -> F.Column:
+def _native_cond(rule: Rule, folded, lct: F.Column | None = None) -> F.Column:
+    """``lct``: optional pre-computed ``lower(text)`` column. The fused/
+    hybrid projections evaluate MANY rules in one Project; threading one
+    shared lowered column through them evaluates lower() once per row
+    instead of once per nocase predicate (Catalyst's subexpression
+    elimination does not reach inside the per-rule when() branches)."""
+    low = (lambda: lct) if lct is not None else (lambda: F.lower(F.col("text")))
     cond = F.lit(True)
     if rule.roles is not None:
         m = F.col("role").isin(list(rule.roles))
@@ -420,30 +493,43 @@ def _native_cond(rule: Rule, folded) -> F.Column:
         if at.days is not None:
             cond = cond & F.col("dow").isin(list(at.days))
     for c in rule.contents:
-        hay = F.col("text")
         if c.offset is not None or c.depth is not None:
             lo = c.offset or 0
             ln = c.depth if c.depth is not None else (1 << 30)
-            hay = F.substring(hay, lo + 1, ln)
+            # substring-then-lower (NOT the shared lowered column):
+            # lower() may change string length for some code points, so
+            # the window must be taken on the original text
+            hay = F.substring(F.col("text"), lo + 1, ln)
+            if c.nocase:
+                hay = F.lower(hay)
+        else:
+            hay = low() if c.nocase else F.col("text")
         needle = c.pattern.lower() if c.nocase else c.pattern
-        if c.nocase:
-            hay = F.lower(hay)
         m = hay.contains(F.lit(needle))
         cond = cond & (~m if c.negated else m)
     for p in rule.pcres:
         if _re.escape(p.pattern) == p.pattern and "s" not in p.flags and "m" not in p.flags:
             # literal-only pattern: substring scan beats per-row regex
             if "i" in p.flags:
-                m = F.lower(F.col("text")).contains(F.lit(p.pattern.lower()))
+                m = low().contains(F.lit(p.pattern.lower()))
             else:
                 m = F.col("text").contains(F.lit(p.pattern))
         else:
             flags = "".join(ch for ch in p.flags if ch in "ism")
             pat = (f"(?{flags})" if flags else "") + p.pattern
             m = F.col("text").rlike(pat)
+            # guard the regex with its required literal (when one can be
+            # derived): codegen's lazy AND skips the per-row regex on the
+            # (typically vast) majority of rows that can't match
+            req = _required_literal(p.pattern)
+            if req is not None and _ascii(req):
+                if "i" in p.flags:
+                    m = low().contains(F.lit(req.lower())) & m
+                else:
+                    m = F.col("text").contains(F.lit(req)) & m
         cond = cond & (~m if p.negated else m)
     for mc in rule.meta_contents:
-        hay = F.lower(F.col("text")) if mc.nocase else F.col("text")
+        hay = low() if mc.nocase else F.col("text")
         anym = F.lit(False)
         for v in mc.values:
             anym = anym | hay.contains(F.lit(v.lower() if mc.nocase else v))
@@ -480,9 +566,13 @@ def _native_extracted(rule: Rule) -> F.Column:
     )
 
 
-def _coarse_prefilter(rules: list[Rule], folded: dict) -> F.Column:
+def _coarse_prefilter(
+    rules: list[Rule], folded: dict, lct: F.Column | None = None
+) -> F.Column:
     """OR of per-rule cheap Spark-native conditions — the fast-pattern
-    prune that keeps non-candidate rows out of the Arrow crossing."""
+    prune that keeps non-candidate rows out of the Arrow crossing.
+    ``lct``: shared pre-computed lower(text), see _native_cond."""
+    low = (lambda: lct) if lct is not None else (lambda: F.lower(F.col("text")))
     any_cond = F.lit(False)
     for rule in rules:
         cond = F.lit(True)
@@ -506,7 +596,7 @@ def _coarse_prefilter(rules: list[Rule], folded: dict) -> F.Column:
                     break
         if fp is not None:
             lit_, nocase = fp
-            hay = F.lower(F.col("text")) if nocase else F.col("text")
+            hay = low() if nocase else F.col("text")
             cond = cond & hay.contains(F.lit(lit_.lower() if nocase else lit_))
         any_cond = any_cond | cond
     return any_cond
@@ -616,19 +706,33 @@ def run_match(
     native_rules = [r for r in ruleset.rules if native_compilable(r)]
     udf_rules = [r for r in ruleset.rules if not native_compilable(r)]
 
+    # one shared lower(text) column for every nocase predicate and derived
+    # rlike guard: the per-rule when() branches defeat Catalyst's
+    # subexpression elimination, so without this each nocase rule pays its
+    # own O(len) lower + allocation per row. A separate Project keeps it a
+    # single evaluation (CollapseProject won't inline a non-cheap alias
+    # referenced more than once); it is pruned when no rule uses it and
+    # dropped before the Arrow crossing either way.
+    _lct = F.col("_lct")
+
     if mode == "fused":
         nsids = F.array_compact(
             F.array(
                 *[
-                    F.when(_native_cond(r, folded[r.sid]), F.lit(r.sid).cast("long"))
+                    F.when(_native_cond(r, folded[r.sid], lct=_lct), F.lit(r.sid).cast("long"))
                     for r in native_rules
                 ]
             )
         ) if native_rules else F.array().cast("array<long>")
         cand = F.size(F.col("_nsids")) > 0
         if udf_rules:
-            cand = cand | _coarse_prefilter(udf_rules, folded)
-        fused_in = prepared.withColumn("_nsids", nsids).filter(cand)
+            cand = cand | _coarse_prefilter(udf_rules, folded, lct=_lct)
+        fused_in = (
+            prepared.withColumn("_lct", F.lower(F.col("text")))
+            .withColumn("_nsids", nsids)
+            .filter(cand)
+            .drop("_lct")
+        )
         return fused_in.mapInPandas(
             make_fused_matcher(native_rules, udf_rules, dims), schema=MATCH_SCHEMA
         )
@@ -639,7 +743,7 @@ def run_match(
             F.array(
                 *[
                     F.when(
-                        _native_cond(r, folded[r.sid]),
+                        _native_cond(r, folded[r.sid], lct=_lct),
                         F.struct(
                             F.lit(r.sid).cast("long").alias("sid"),
                             _native_extracted(r).alias("extracted"),
@@ -650,7 +754,7 @@ def run_match(
             )
         )
         native_df = (
-            prepared.select(
+            prepared.withColumn("_lct", F.lower(F.col("text"))).select(
                 "conv_id", "turn_idx", "role", "text", "tool", "ts", "risk_key",
                 F.explode(hits).alias("_h"),
             )

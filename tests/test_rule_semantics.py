@@ -157,6 +157,42 @@ def test_flexbit_same_turn_does_not_see_own_set():
     assert [a["turn_idx"] for a in res.alerts] == [1]
 
 
+def test_required_literal_soundness():
+    """r7: native rlike predicates are guarded by a derived required
+    literal (match._required_literal) — codegen skips the regex on rows
+    that can't contain it. SOUNDNESS is the only requirement: whenever a
+    string matches the pattern, it must contain the extracted literal
+    (a false negative in the guard would silently drop alerts). Checked
+    against Python re on handcrafted matching strings per pattern, plus
+    the bail-out cases."""
+    import re
+
+    from sagan_spark.engine.match import _required_literal
+
+    cases = [
+        # (pattern, [strings that match the pattern])
+        (r"the\s+\w+ine3\b", ["the  xine3 end", "prefix the\tmachine3"]),
+        (r"error\s+\d+", ["error 42", "an error  7 happened"]),
+        (r"abc+d", ["abcd", "abccccd tail"]),
+        (r"colou?r", ["color", "colour"]),
+        (r"x{2,3}yyy", ["xxyyy", "xxxyyyz"]),
+        (r"^start.*end$", ["start middle end"]),
+        (r"foo\.bar", ["a foo.bar b"]),
+        (r"dead\s*beef", ["deadbeef", "dead  beef"]),
+    ]
+    for pat, matches in cases:
+        lit = _required_literal(pat)
+        assert lit is not None and len(lit) >= 3, pat
+        rx = re.compile(pat)
+        for s in matches:
+            assert rx.search(s), (pat, s)  # fixture sanity
+            assert lit in s, (pat, lit, s)  # the guard must never veto a match
+    # constructs that can make any literal optional MUST bail
+    for pat in (r"a|bcd", r"(foo)bar", r"[abc]def", r"abc\1", r"tail\Z",
+                r"\p{L}xyz", r"ab", r"+bad"):
+        assert _required_literal(pat) is None, pat
+
+
 def test_flexbit_unset():
     rs = RuleSet(
         (
