@@ -439,8 +439,8 @@ def build_stream(
         # output with MapType is fragile across versions, and no stateful
         # canonical rule extracts fields. Re-attachable via grok re-run if
         # a rule set ever needs both.
-        stateless = enriched.filter(~enriched.sid.isin(special_sids)).drop("extracted")
-        out_schema = stateless.schema
+        all_rows = enriched.drop("extracted")
+        out_schema = all_rows.schema
         out_cols = [f.name for f in out_schema.fields]
         timeout = (
             GroupStateTimeout.ProcessingTimeTimeout
@@ -465,9 +465,24 @@ def build_stream(
                 (parents + children, "dyn",
                  F.element_at(F.create_map(*key_entries), F.col("sid")))
             )
-        sids0, kind0, key0 = branches[-1]
-        kind_expr, key_expr = F.lit(kind0), key0
-        for sids, kname, kcol in reversed(branches[:-1]):
+        # Rows of NON-stateful sids flow through the SAME operator under a
+        # no-state "pass" domain instead of a filter+union bypass branch
+        # (r7). The union looked free but doubled the batch's real cost:
+        # its two branches each contain the match mapInPandas subtree, and
+        # Python stages are never exchange-reuse-deduplicated (the batch
+        # engine's linear-plan rule — verified empirically there), so
+        # every micro-batch scanned and matched its files TWICE. The pass
+        # domain yields its input unchanged and never touches state or
+        # timers (nothing is ever stored for its keys, so checkpoint
+        # layout and resume compatibility are unchanged, and TTL's empty
+        # micro-batches never see them). Its key is a deterministic
+        # synthetic spread of conv_id — many more distinct values than
+        # shuffle partitions so the extra exchanged rows balance
+        # (guide §2.5), while each group stays large enough that the
+        # per-group pandas overhead is noise.
+        kind_expr = F.lit("pass")
+        key_expr = F.pmod(F.xxhash64("conv_id"), F.lit(4096)).cast("string")
+        for sids, kname, kcol in reversed(branches):
             cond = F.col("sid").isin(sids)
             kind_expr = F.when(cond, F.lit(kname)).otherwise(kind_expr)
             key_expr = F.when(cond, kcol).otherwise(key_expr)
@@ -485,23 +500,24 @@ def build_stream(
                 yield from conv_fn((val,), pdfs, state)
             elif kind in track_fns:
                 yield from track_fns[kind]((val,), pdfs, state)
+            elif kind == "pass":  # stateless passthrough — no state, no timer
+                for pdf in pdfs:
+                    yield pdf[out_cols]
             else:  # "dyn" — the gate never arms a timer, so never times out
                 yield from gate_fn((int(val),), pdfs, state)
 
         special = (
-            enriched.filter(enriched.sid.isin(special_sids))
-            .drop("extracted")
+            all_rows
             .withColumn("_skind", kind_expr)
             .withColumn("_skey", key_expr)
         )
-        replayed = special.groupBy("_skind", "_skey").applyInPandasWithState(
+        correlated = special.groupBy("_skind", "_skey").applyInPandasWithState(
             dispatch,
             outputStructType=out_schema,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=timeout,
         )
-        correlated = stateless.unionByName(replayed)
     return route.attach_rule_meta(correlated, ruleset)
 
 
@@ -547,21 +563,41 @@ def make_batch_writer(out_dir: str, sinks: tuple[str, ...]):
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
-            # one job decides which sinks this batch touches
+            # one job decides which sinks this batch touches (and
+            # materializes the cache the writers share)
             counts = {
                 r["sink"]: r["n"]
                 for r in batch_df.groupBy("sink").agg(F.count("*").alias("n")).collect()
             }
-            for sink in sinks:
-                if not counts.get(sink):
-                    continue
+            touched = [s for s in sinks if counts.get(s)]
+            for sink in touched:
                 _check_legacy(batch_df.sparkSession, sink)
+
+            def _write_one(sink: str) -> None:
                 (
                     batch_df.filter(F.col("sink") == sink)
                     .sortWithinPartitions("conv_id", "turn_idx", "sid")
                     .write.mode("overwrite")
                     .parquet(f"{out_dir.rstrip('/')}/{sink}/batch={batch_id}")
                 )
+
+            if len(touched) <= 1:
+                for sink in touched:
+                    _write_one(sink)
+            else:
+                # the per-sink writers are independent jobs over the same
+                # persisted batch — run them concurrently (guide §2.6:
+                # overlap independent jobs so one writer's straggler tail
+                # back-fills with the next writer's tasks) instead of
+                # paying four sequential job latencies per micro-batch.
+                # Any failure propagates so the batch is retried whole;
+                # partial writes are repaired by the idempotent
+                # per-batch-id overwrite on replay.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=len(touched)) as pool:
+                    for _ in pool.map(_write_one, touched):
+                        pass
         finally:
             batch_df.unpersist()
 
