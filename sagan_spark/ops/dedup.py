@@ -276,12 +276,13 @@ def dedup_clusters(
     label table broadcasts instead (guide §3.1) — both per-round joins
     then run exchange-free, which at bench scale removes ~2 AQE stage
     round-trips per round; the shuffle plan above is the at-scale shape.
-    Lineage is truncated EVERY round (localCheckpoint of the merged round
-    result — so the round's work, jump join included, executes exactly
-    once) — labels appear twice per round and the aggregate twice, so an
-    un-truncated plan quadruples per round and kills the driver in plan
-    analysis long before any executor works hard. The driver sees only a
-    one-row convergence count per round.
+    Lineage is truncated EVERY round (localCheckpoint of the neighbor-min
+    aggregate — the round's heavy work executes exactly once; the cheap
+    jump join re-runs from the materialized RDD) — labels appear twice
+    per round and the aggregate twice, so an un-truncated plan quadruples
+    per round and kills the driver in plan analysis long before any
+    executor works hard. The driver sees only a one-row convergence
+    count per round.
 
     Output columns are always (``doc_id``, ``cluster``) regardless of the
     input pair column names (dedup_survivors relies on that contract).
@@ -340,6 +341,24 @@ def dedup_clusters(
                     F.min(F.when(F.col("_own"), F.col("cluster"))).alias("old"),
                 )
             )
+            # Lineage MUST truncate every round: labels appears twice in
+            # the round's plan (neighbor join + union) and agg twice (jump
+            # join), so an un-truncated plan quadruples per round — by
+            # round 5 the optimizer is walking ~4^5 copies of the full
+            # upstream lineage and dies in analysis, not execution.
+            # localCheckpoint is eager, materializes only ~|nodes| rows,
+            # and replaces the logical plan with a flat LogicalRDD; its
+            # blocks are reclaimed by the ContextCleaner when the frame
+            # is garbage-collected. The checkpoint sits HERE — after the
+            # round's heavy work (neighbor join + groupBy), before the
+            # jump join — so the heavy subtree executes exactly once per
+            # round: checkpointing AFTER the jump instead was measured
+            # ~20% slower on a 1.3M-edge graph (the jump join's two agg
+            # inputs are NOT exchange-reuse-deduplicated, so the groupBy
+            # ran twice per round), while the jump join itself is cheap
+            # to re-run from the materialized RDD (broadcast probe on
+            # small graphs, two ~|nodes| exchanges at scale).
+            agg = agg.localCheckpoint()
             # pointer jump: follow the freshly-computed label's own label.
             # c1 is always a node id, so the left join always matches.
             jump = agg.select(F.col("node").alias("_jn"), F.col("c1").alias("_jc"))
@@ -351,24 +370,10 @@ def dedup_clusters(
                     F.coalesce("_jc", "c1").alias("cluster"),
                 )
             )
-            # Lineage MUST truncate every round: labels appears twice in
-            # the round's plan (neighbor join + union) and agg twice (jump
-            # join), so an un-truncated plan quadruples per round — by
-            # round 5 the optimizer is walking ~4^5 copies of the full
-            # upstream lineage and dies in analysis, not execution.
-            # localCheckpoint is eager, materializes only ~|nodes| rows,
-            # and replaces the logical plan with a flat LogicalRDD; its
-            # blocks are reclaimed by the ContextCleaner when the frame
-            # is garbage-collected. Checkpointing MERGED (r7; was: agg)
-            # makes the round's whole work — including the jump join —
-            # execute exactly ONCE: the old shape re-ran the jump join in
-            # the convergence count and twice more via next round's two
-            # uses of `labels`.
-            merged = merged.localCheckpoint()
             changed = merged.where(F.col("old") != F.col("cluster")).count()
             if prev is not None:
                 prev.unpersist()
-            prev = merged
+            prev = agg
             labels = merged.select("node", "cluster")
             if not small_graph:
                 labels = labels.repartition(F.col("node"))
