@@ -532,7 +532,13 @@ def q_simhash_portable(spark, sf):
 
 
 def q_ann_threshold(spark, sf):
-    emb = _t(spark, sf, "embeddings", spread=True)
+    # ann legs deliberately do NOT spread (r7, measured both scales): the
+    # per-row work (a cosine / a few sig dots over 2k-20k vectors) is too
+    # small to repay the repartition — sf0.1 A/B: brute 0.17 bare vs 0.22
+    # spread, norms 0.13 vs 0.21, lsh/ivf a wash; sf1.0 was window noise
+    # either way. embedding_near_dups keeps spread (bucket join + full
+    # pair cosines — measured 2.7x at sf0.1, 12x at sf1.0).
+    emb = _t(spark, sf, "embeddings")
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     sim = SIM.cosine(F.col("embedding"), SIM._qlit(q))
     return (
@@ -543,13 +549,13 @@ def q_ann_threshold(spark, sf):
 
 
 def q_ann_brute_topk(spark, sf):
-    emb = _t(spark, sf, "embeddings", spread=True)
+    emb = _t(spark, sf, "embeddings")
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return SIM.brute_topk(emb.where(F.col("vec_id") != 0), q, k=10)
 
 
 def q_ann_lsh_topk(spark, sf):  # scale path; oracle inlines the seeded planes
-    emb = _t(spark, sf, "embeddings", spread=True)
+    emb = _t(spark, sf, "embeddings")
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return SIM.lsh_bucketed_topk(
         emb.where(F.col("vec_id") != 0), q, k=10, nbits=ANN_NBITS, radius=ANN_RADIUS
@@ -596,7 +602,7 @@ def q_ann_lsh_index_topk(spark, sf):  # repeated-query scale path: the
 
 
 def q_ann_ivf_topk(spark, sf):  # centroid sample is md5-portable → SQL oracle
-    emb = _t(spark, sf, "embeddings", spread=True)
+    emb = _t(spark, sf, "embeddings")
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return SIM.ivf_topk(
         emb.where(F.col("vec_id") != 0), q, k=10, ncentroids=8, nprobe=2
@@ -604,7 +610,7 @@ def q_ann_ivf_topk(spark, sf):  # centroid sample is md5-portable → SQL oracle
 
 
 def q_embedding_norms(spark, sf):
-    emb = _t(spark, sf, "embeddings", spread=True)
+    emb = _t(spark, sf, "embeddings")
     return emb.groupBy("label").agg(
         F.round(F.avg(SIM.norm(F.col("embedding"))), 4).alias("avg_norm"),
         F.count("*").alias("n"),

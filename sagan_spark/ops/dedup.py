@@ -241,6 +241,26 @@ def lsh_bucket_stats(
     )
 
 
+# Below this optimizer-estimated input size the simhash kernel skips its
+# spread repartition: per-token md5 with a memo is light enough that on a
+# tiny corpus the exchange costs more than single-task execution saves
+# (sf0.1 A/B: 0.38s unspread vs 0.49s spread; 10x: 1.58s vs 0.70s — the
+# crossover is input size; the threshold sits centrally between the
+# two measured estimates, 0.25MB and 2.5MB). The heavier minhash kernel (8 md5s per
+# SHINGLE) stays unconditionally spread — it wins at every measured size.
+_SPREAD_MIN_BYTES = 1024 * 1024
+
+
+def _est_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer-estimated size of ``df`` (bytes), or None when the
+    internals probe fails — callers must treat None as 'large' so a
+    Spark-upgrade breakage degrades to the scale-safe spread plan."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 # Edge-count ceiling under which dedup_clusters broadcasts the label table
 # per round instead of shuffle-hash-joining it (|labels| ≤ |edges|; ~1M
 # label rows build to tens of MB, safe for the 2g local driver). Module
@@ -581,11 +601,14 @@ def simhash_portable(
         narrow = df.select(F.col(id_col), F.col(text_col))
         # single-file inputs scan as 1 task (row-group granularity) and
         # would serialize the kernel on one core — spread them first;
-        # no-op whenever the scan already has ≥ cores splits
+        # no-op whenever the scan already has ≥ cores splits, SKIPPED
+        # when the input is tiny (see _SPREAD_MIN_BYTES)
         spark = narrow.sparkSession
         p = spark.sparkContext.defaultParallelism
         if narrow.rdd.getNumPartitions() < p:
-            narrow = narrow.repartition(p)
+            sz = _est_size_bytes(narrow)
+            if sz is None or sz >= _SPREAD_MIN_BYTES:
+                narrow = narrow.repartition(p)
         return narrow.mapInPandas(sim_kernel, schema=f"{id_col} {id_type}, simhash long")
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
