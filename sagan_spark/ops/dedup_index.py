@@ -336,6 +336,22 @@ def write_dedup_index_table(
     )
 
 
+def _table_num_buckets(spark: SparkSession, table: str) -> int | None:
+    """Bucket count of ``table`` via the public DESCRIBE FORMATTED
+    surface (no planner internals); None when not discoverable — callers
+    then leave the exchange placement to the planner (correct, one
+    avoidable delta re-shuffle)."""
+    try:
+        row = (
+            spark.sql(f"DESCRIBE FORMATTED {table}")
+            .where(F.col("col_name") == "Num Buckets")
+            .first()
+        )
+        return int(row["data_type"]) if row is not None else None
+    except Exception:
+        return None
+
+
 def dedup_index_table_candidates(
     spark: SparkSession,
     table: str,
@@ -346,13 +362,26 @@ def dedup_index_table_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     rows_per_band: int = 2,
+    max_bucket: int | None = 1000,
     min_est: float | None = None,
 ) -> DataFrame:
     """dedup_index_candidates over the bucketed banded table: identical
     output (tested), corpus side exchange-free. The delta is banded and
     shuffled into the table's bucket partitioning; Spark elides the
     corpus-side Exchange because the scan's HashPartitioning(_band)
-    already satisfies the join's distribution."""
+    already satisfies the join's distribution.
+
+    ``max_bucket`` (r7 — previously this path alone was uncapped, the one
+    quadratic join on a designated 100-TB path): same semantics as
+    candidates_from_sigs — pairs whose combined (corpus + delta) band
+    membership exceeds the cap are dropped. Each side's membership count
+    is a window over its OWN band key: on the corpus side the window's
+    required hash distribution is the bucketed scan's, so the exchange
+    elision is preserved (plan-asserted — still exactly one _band
+    exchange, the delta's), and its sort feeds the join's. Use
+    dedup_index_table_bucket_stats to surface what a cap drops."""
+    from pyspark.sql import Window
+
     left = spark.table(table).alias("l")
     right = _banded(
         build_dedup_index(new_docs, text_col, id_col, w, num_hashes),
@@ -360,11 +389,24 @@ def dedup_index_table_candidates(
         bands,
         rows_per_band,
     ).alias("r")
+    if max_bucket is not None:
+        win = Window.partitionBy("_band")
+        left = left.withColumn("_ln", F.count("*").over(win)).alias("l")
+        # pre-shuffle the delta into the TABLE'S bucket count before its
+        # window: the window would otherwise exchange to
+        # spark.sql.shuffle.partitions and the join would re-exchange to
+        # the bucket count — two delta shuffles instead of one
+        nbuckets = _table_num_buckets(spark, table)
+        if nbuckets is not None:
+            right = right.repartition(nbuckets, "_band").alias("r")
+        right = right.withColumn("_rn", F.count("*").over(win)).alias("r")
     joined = left.join(
         right,
         (F.col("l._band") == F.col("r._band"))
         & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
     )
+    if max_bucket is not None:
+        joined = joined.where(F.col("_ln") + F.col("_rn") <= max_bucket)
     est = sig_est_jaccard(F.col("l.sig"), F.col("r.sig"))
     out = joined.select(
         F.col(f"l.{id_col}").alias("a"),
@@ -374,3 +416,40 @@ def dedup_index_table_candidates(
     if min_est is not None:
         out = out.where(F.col("est_jaccard") >= F.lit(float(min_est)))
     return out
+
+
+def dedup_index_table_bucket_stats(
+    spark: SparkSession,
+    table: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """'No silent caps' companion for the bucketed-table path: one row
+    with the joint (table + delta) bucket count, over-cap bucket count,
+    and ids touching a dropped bucket — the table twin of
+    dedup_index_bucket_stats, using the table's stored _band directly."""
+    both = spark.table(table).select(id_col, "_band").unionByName(
+        _banded(
+            build_dedup_index(new_docs, text_col, id_col, w, num_hashes),
+            id_col,
+            bands,
+            rows_per_band,
+        ).select(id_col, "_band")
+    )
+    cap = F.lit(max_bucket if max_bucket is not None else (1 << 62))
+    per = both.groupBy("_band").agg(
+        F.count("*").alias("n"), F.countDistinct(id_col).alias("docs")
+    )
+    return per.agg(
+        F.count("*").alias("buckets"),
+        F.sum(F.when(F.col("n") > cap, 1).otherwise(0)).cast("long").alias("dropped_buckets"),
+        F.sum(F.when(F.col("n") > cap, F.col("docs")).otherwise(0))
+        .cast("long")
+        .alias("docs_in_dropped"),
+    )

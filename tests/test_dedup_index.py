@@ -145,6 +145,60 @@ def test_bucket_cap_consistent(spark):
     assert _pairs_set(capped) <= _pairs_set(uncapped)
 
 
+def test_bucketed_table_cap_matches_path_index(spark):
+    """r7: the bucketed-table join gets the same max_bucket cap as the
+    path index (it was the one uncapped join on a designated 100-TB
+    path). Capped table-path candidates ≡ capped path-index candidates at
+    equal params on a forced-hot bucket, the at-cap family still pairs,
+    and the table stats companion accounts for the drops."""
+    boiler = "the same boilerplate text repeated again and again for caps"
+    rare = "rare near duplicate sentence about exchange reuse"
+    rows = [(i, boiler) for i in (0, 2, 4)] + [(10, rare)]
+    corp = spark.createDataFrame(rows, "doc_id long, text string")
+    dlt = spark.createDataFrame(
+        [(1, boiler), (11, rare)], "doc_id long, text string"
+    )
+    spark.sql("DROP TABLE IF EXISTS didx_cap_test")
+    try:
+        DI.write_dedup_index_table(corp, "didx_cap_test", nbuckets=2, num_hashes=8)
+        idx = DI.build_dedup_index(corp, num_hashes=8)
+        for cap in (None, 3):
+            got = DI.dedup_index_table_candidates(
+                spark, "didx_cap_test", dlt, num_hashes=8, max_bucket=cap
+            )
+            want = DI.dedup_index_candidates(idx, dlt, num_hashes=8, max_bucket=cap)
+            assert _pairs_set(got) == _pairs_set(want), cap
+        capped = DI.dedup_index_table_candidates(
+            spark, "didx_cap_test", dlt, num_hashes=8, max_bucket=3
+        )
+        pairs = {(r["a"], r["b"]) for r in capped.collect()}
+        # boilerplate bucket (combined size 4 > 3) dropped; the rare
+        # 2-doc family (combined size 2 ≤ 3) survives
+        assert pairs == {(10, 11)}
+        stats = DI.dedup_index_table_bucket_stats(
+            spark, "didx_cap_test", dlt, num_hashes=8, max_bucket=3
+        ).first()
+        assert stats["dropped_buckets"] == 4  # all 4 bands of the boilerplate
+        assert stats["docs_in_dropped"] == 16
+        # the capped plan must keep the scale shape: corpus side (window
+        # included) exchange-free, exactly one _band exchange (the delta's)
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            smj = DI.dedup_index_table_candidates(
+                spark, "didx_cap_test", dlt, num_hashes=8, max_bucket=3
+            )
+            smj.collect()
+            plan = smj._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange hashpartitioning(_band") == 1, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS didx_cap_test")
+
+
 def test_min_est_filters(spark, delta, index_path):
     idx = DI.read_dedup_index(spark, index_path, num_hashes=8)
     allp = DI.dedup_index_candidates(idx, delta, num_hashes=8, max_bucket=None)
