@@ -35,7 +35,13 @@ ANN_NBITS = 16
 ANN_RADIUS = 6
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+def _t(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    spread: bool = False,
+    spread_min_bytes: int | None = None,
+) -> DataFrame:
     """Read one sf table. ``spread=True`` applies the guide's
     unsplittable-input fix: the sf tables are single-file parquet with
     1-6 row groups, so a bare scan — and every narrow stage on top of it
@@ -47,11 +53,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> Dat
     the bare scan — for them the extra shuffle only adds cost (measured
     both ways at sf0.1/sf1.0, see OPTIMIZATION_r07.md). The repartition
     only fires when the scan has fewer splits than cores, so at
-    production scale (thousands of splits) it is a no-op."""
+    production scale (thousands of splits) it is a no-op.
+
+    ``spread_min_bytes``: call sites whose per-row work sits near the
+    spread break-even additionally gate on the optimizer-estimated input
+    size (the events JSON legs: repartition wins 1.6× at 10× table size
+    but loses ~0.2s at sf0.1 — measured both ways); None keeps the
+    unconditional behavior for sites that win at every size."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if spread:
         p = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < p:
+            if spread_min_bytes is not None:
+                from sagan_spark.ops.dedup import _est_size_bytes
+
+                sz = _est_size_bytes(df)
+                if sz is not None and sz < spread_min_bytes:
+                    return df
             df = df.repartition(p)
     return df
 
@@ -60,12 +78,26 @@ def events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S3: JSON-lines input + field mapping ([PUB src/input-json.c]) —
     map the events table onto the transcript input contract.
 
-    spread=True: the JSON k-extraction + text synthesis are heavy per-row
-    work that the planner may place BEFORE the turn-index window's
-    exchange — on the single-row-group events file that serializes ~2s/M
-    rows of JSON parsing onto one core (measured sf1.0: full mapping
-    6.1s → 2.5s with the scan spread)."""
-    ev = _t(spark, sf_dir, "events", spread=True)
+    spread=True (size-gated): the JSON k-extraction is heavy per-row work
+    that runs BEFORE the turn-index window's exchange — on the
+    single-row-group events file that serializes onto one core (measured
+    at 10× table size: spread 2.1s vs 3.3s unspread; at sf0.1 the
+    repartition loses ~0.2s, hence the byte gate).
+
+    r7 plan shape: ``k`` is parsed from props ONCE in a projection below
+    the window and ``props`` is dropped there — the old shape evaluated
+    get_json_object up to four times per row (each use inside a when()
+    branch defeats subexpression elimination) and shipped the whole JSON
+    string through the window exchange. Output rows identical
+    (exceptAll-checked both ways at both scales)."""
+    ev = _t(spark, sf_dir, "events", spread=True, spread_min_bytes=4 << 20)
+    ev = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("_k"),
+    )
     role = (
         F.when(F.col("event_type") == "view", "user")
         .when(F.col("event_type") == "click", "tool")
@@ -78,7 +110,7 @@ def events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "error", "bash")
         .otherwise("none")
     )
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.col("_k")
     text = F.concat(
         F.lit("event "),
         F.col("event_type"),
@@ -187,7 +219,7 @@ def q_meta_content(spark, sf):  # P9 meta_content alternation
 
 
 def q_grok_extract(spark, sf):  # P13 named-group extraction
-    e = _t(spark, sf, "events", spread=True)
+    e = _t(spark, sf, "events", spread=True, spread_min_bytes=4 << 20)
     return (
         e.select(F.regexp_extract("props", '"k": ([0-9]+)', 1).alias("k"))
         .groupBy("k")
@@ -367,7 +399,7 @@ def q_union_merge(spark, sf):  # per-rule alert stream merge
 
 
 def q_json_extract(spark, sf):  # S2 JSON field mapping
-    e = _t(spark, sf, "events", spread=True)
+    e = _t(spark, sf, "events", spread=True, spread_min_bytes=4 << 20)
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         e.groupBy("event_type")
