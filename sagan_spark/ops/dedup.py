@@ -322,7 +322,31 @@ def dedup_clusters(
     Raises after ``max_iters`` non-converged rounds (loud beats silently
     wrong clusters) — with jumping, 20 rounds covers diameters ~2^20.
     """
+    import threading
+
     from pyspark import StorageLevel
+    from pyspark.sql import Observation
+
+    def _obs_changed(obs: Observation) -> int | None:
+        """Bounded read of the per-round convergence metric. The
+        observation is driven by the localCheckpoint materialization —
+        verified on this Spark, but listener delivery is asynchronous and
+        version-coupled, so a bounded wait with a None(→count-job)
+        fallback keeps a future regression slow-once instead of hung."""
+        out: dict = {}
+
+        def _read() -> None:
+            try:
+                out["v"] = obs.get.get("changed")
+            except Exception:
+                pass
+
+        t = threading.Thread(target=_read, daemon=True)
+        t.start()
+        t.join(10.0)
+        if "v" not in out:
+            return None
+        return int(out["v"] or 0)
 
     spark = pairs.sparkSession
     fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -336,6 +360,11 @@ def dedup_clusters(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = edges.count()  # materialize the cache before the loop
+    if n_edges == 0:  # no pairs → no clusters (and no loop jobs at all)
+        edges.unpersist()
+        return edges.select(
+            F.col("dst").alias("doc_id"), F.col("dst").alias("cluster")
+        )
     # Scale-adaptive join strategy (guide §3.1): |labels| ≤ |edges|, and the
     # edge count is already known from the cache materialization. On a
     # small graph the label table broadcasts — every per-round join then
@@ -351,6 +380,7 @@ def dedup_clusters(
         "node", F.col("node").alias("cluster")
     )  # hash(node, sess) — co-partitioned with edges, zero extra exchange
     prev = None  # previous round's materialized label frame
+    use_obs = True  # convergence metric rides the checkpoint job
     try:
         for i in range(max_iters):
             # neighbors' labels: broadcast (small graph) or co-partitioned
@@ -391,7 +421,25 @@ def dedup_clusters(
             # ran twice per round), while the jump join itself is cheap
             # to re-run from the materialized RDD (broadcast probe on
             # small graphs, two ~|nodes| exchanges at scale).
+            # Convergence metric rides the SAME materialization via the
+            # Observation API — no separate count job per round. Counting
+            # pre-jump (old != c1) is equivalent to the old post-jump
+            # count: old ≥ c1 ≥ L(c1) always (labels are monotone member
+            # ids), so either difference being empty squeezes all three
+            # equal, and neighbor-min stability IS the component-min
+            # fixed point (where the jump is the identity).
+            changed: int | None = None
+            if use_obs:
+                obs = Observation()
+                agg = agg.observe(
+                    obs,
+                    F.sum((F.col("old") != F.col("c1")).cast("long")).alias("changed"),
+                )
             agg = agg.localCheckpoint()
+            if use_obs:
+                changed = _obs_changed(obs)
+                if changed is None:
+                    use_obs = False  # broken surface: count jobs from here on
             # pointer jump: follow the freshly-computed label's own label.
             # c1 is always a node id, so the left join always matches.
             jump = agg.select(F.col("node").alias("_jn"), F.col("c1").alias("_jc"))
@@ -403,7 +451,8 @@ def dedup_clusters(
                     F.coalesce("_jc", "c1").alias("cluster"),
                 )
             )
-            changed = merged.where(F.col("old") != F.col("cluster")).count()
+            if changed is None:
+                changed = merged.where(F.col("old") != F.col("cluster")).count()
             if prev is not None:
                 prev.unpersist()
             prev = agg
@@ -411,7 +460,10 @@ def dedup_clusters(
             if not small_graph:
                 labels = labels.repartition(F.col("node"))
             if changed == 0:
-                return merged.select(F.col("node").alias("doc_id"), "cluster")
+                # at the fixed point the jump is the identity (see above),
+                # so the checkpointed aggregate IS the answer — the final
+                # round's jump join never executes
+                return agg.select(F.col("node").alias("doc_id"), F.col("c1").alias("cluster"))
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds — "
             f"component diameter exceeds ~2^{max_iters} under pointer "
