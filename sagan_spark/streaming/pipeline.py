@@ -574,8 +574,17 @@ def make_batch_writer(out_dir: str, sinks: tuple[str, ...]):
                 _check_legacy(batch_df.sparkSession, sink)
 
             def _write_one(sink: str) -> None:
+                # size output files from the known per-sink row count
+                # (guide §6): the cache holds shuffle-partition-many
+                # blocks, and writing each as its own part file costs
+                # per-file open/commit overhead and litters the sink with
+                # tiny files — one file per ~500k rows instead, scaling
+                # back up with real batch volume. coalesce reads the
+                # cached blocks without a shuffle.
+                nparts = max(1, -(-counts[sink] // 500_000))
                 (
                     batch_df.filter(F.col("sink") == sink)
+                    .coalesce(nparts)
                     .sortWithinPartitions("conv_id", "turn_idx", "sid")
                     .write.mode("overwrite")
                     .parquet(f"{out_dir.rstrip('/')}/{sink}/batch={batch_id}")
