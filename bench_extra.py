@@ -94,7 +94,15 @@ def ab_cluster(spark, sf):
     pairs = D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2).localCheckpoint()
     n = pairs.count()
     print(f"  sig+pairs (cold, checkpointed): {time.time() - t0:.3f}s pairs={n}")
-    _t("dedup_clusters loop", lambda: D.dedup_clusters(pairs, max_iters=25).count())
+    _t("dedup_clusters (auto tier)", lambda: D.dedup_clusters(pairs, max_iters=25).count())
+    # force the distributed tiers on the same graph: the driver-local
+    # collect tier vs the loop it replaces below _COLLECT_EDGE_CAP
+    saved = D._COLLECT_EDGE_CAP
+    try:
+        D._COLLECT_EDGE_CAP = 0
+        _t("dedup_clusters loop (forced)", lambda: D.dedup_clusters(pairs, max_iters=25).count())
+    finally:
+        D._COLLECT_EDGE_CAP = saved
 
 
 def ab_union(spark, sf):

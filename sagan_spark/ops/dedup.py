@@ -280,6 +280,54 @@ def _est_size_bytes(df: DataFrame) -> int | None:
 # level so tests can force the at-scale shuffle path on small fixtures.
 _BROADCAST_EDGE_CAP = 1_000_000
 
+# Symmetrized-edge ceiling under which the component labels are computed
+# on the DRIVER from the collected edge list (1M two-column rows ≈ 16 MB
+# — the same order a broadcast dim table collects, and the same ceiling
+# the broadcast-label tier uses) instead of running the iterative loop at
+# all: each distributed round costs several scheduler round-trips + a
+# localCheckpoint, a fixed ~0.3s/round on an otherwise-idle local[32]
+# box, which dominates end-to-end time on the small pair graphs a sane
+# dedup corpus produces. The broadcast-label tier below stays live as the
+# fallback when the collect refuses (NULL endpoints / probe failure).
+# Module level so tests can force the loop paths on small fixtures.
+_COLLECT_EDGE_CAP = 1_000_000
+
+
+def _clusters_local(edges: DataFrame):
+    """Driver-side min-label components over a small COLLECTED edge list.
+
+    Same algorithm as the distributed loop (neighbor-min + pointer
+    jumping over monotone node-id labels → identical fixed point: min
+    member id per component), vectorized in numpy over np.unique codes —
+    sorted uniques make min-over-codes ≡ min-over-ids for int AND string
+    ids. Returns (nodes, labels) arrays in the edge column's value space,
+    or None when any endpoint is NULL (out of the dedup contract — the
+    caller falls back to the always-correct loop)."""
+    import numpy as np
+
+    tbl = edges.toArrow()
+    if tbl.column("src").null_count or tbl.column("dst").null_count:
+        return None
+    src = np.asarray(tbl.column("src").to_pandas())
+    dst = np.asarray(tbl.column("dst").to_pandas())
+    uniq, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    cs, cd = inv[: len(src)], inv[len(src):]
+    labels = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        new = labels.copy()
+        # neighbor-min (edges arrive symmetrized, so one direction covers
+        # both); np.minimum.at is unbuffered — repeated targets accumulate
+        np.minimum.at(new, cs, labels[cd])
+        changed = bool((new != labels).any())
+        while True:  # pointer jump to ITS fixed point: labels are codes,
+            j = new[new]  # only ever decrease, so this is monotone
+            if (j == new).all():
+                break
+            new = j
+        labels = new
+        if not changed:
+            return uniq, uniq[labels]
+
 
 def dedup_clusters(
     pairs: DataFrame, a: str = "a", b: str = "b", max_iters: int = 20
@@ -309,6 +357,13 @@ def dedup_clusters(
     label table broadcasts instead (guide §3.1) — both per-round joins
     then run exchange-free, which at bench scale removes ~2 AQE stage
     round-trips per round; the shuffle plan above is the at-scale shape.
+    TINY graphs (≤ ``_COLLECT_EDGE_CAP`` symmetrized edges, a few MB —
+    broadcast-dim-table territory) skip the distributed loop entirely:
+    the cached edge list collects to the driver and the same
+    neighbor-min + pointer-jump recurrence runs vectorized in numpy
+    (_clusters_local) — rounds-many scheduler round-trips at a fixed
+    ~0.3s each become one collect job. NULL endpoints (out of contract)
+    or any probe failure fall back to the loop.
     Lineage is truncated EVERY round (localCheckpoint of the neighbor-min
     aggregate — the round's heavy work executes exactly once; the cheap
     jump join re-runs from the materialized RDD) — labels appear twice
@@ -319,13 +374,16 @@ def dedup_clusters(
 
     Output columns are always (``doc_id``, ``cluster``) regardless of the
     input pair column names (dedup_survivors relies on that contract).
-    Raises after ``max_iters`` non-converged rounds (loud beats silently
-    wrong clusters) — with jumping, 20 rounds covers diameters ~2^20.
+    Raises after ``max_iters`` non-converged rounds on the distributed
+    paths (loud beats silently wrong clusters) — with jumping, 20 rounds
+    covers diameters ~2^20; the driver-local path always runs to its
+    (identical) fixed point.
     """
     import threading
 
     from pyspark import StorageLevel
     from pyspark.sql import Observation
+    from pyspark.sql import types as T
 
     def _obs_changed(obs: Observation) -> int | None:
         """Bounded read of the per-round convergence metric. The
@@ -365,6 +423,34 @@ def dedup_clusters(
         return edges.select(
             F.col("dst").alias("doc_id"), F.col("dst").alias("cluster")
         )
+    if n_edges <= _COLLECT_EDGE_CAP:
+        # Small graph: solve on the driver from the (already materialized)
+        # edge cache — a capped collect the size of a broadcast dim table
+        # replaces rounds-many distributed jobs whose per-round fixed cost
+        # dominates at this scale. Same fixed point as the loop (see
+        # _clusters_local); the distributed paths below stay the at-scale
+        # shape and the fallback when the collect sees NULL endpoints (or
+        # the guarded probe fails in any way — loop is always correct).
+        try:
+            local = _clusters_local(edges)
+        except Exception:
+            local = None
+        if local is not None:
+            import pandas as pd
+
+            nodes, labels = local
+            node_t = edges.schema["dst"].dataType
+            out = spark.createDataFrame(
+                pd.DataFrame({"doc_id": nodes, "cluster": labels}),
+                schema=T.StructType(
+                    [
+                        T.StructField("doc_id", node_t, True),
+                        T.StructField("cluster", node_t, True),
+                    ]
+                ),
+            )
+            edges.unpersist()
+            return out
     # Scale-adaptive join strategy (guide §3.1): |labels| ≤ |edges|, and the
     # edge count is already known from the cache materialization. On a
     # small graph the label table broadcasts — every per-round join then

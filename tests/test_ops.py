@@ -551,10 +551,11 @@ def test_dedup_clusters_matches_union_find(spark):
 
 
 def test_dedup_clusters_shuffle_path_equals_broadcast_path(spark, monkeypatch):
-    """r7: small graphs broadcast the per-round label table; at scale the
-    co-partitioned shuffle-hash plan runs. Force the at-scale path on the
-    same fixture (broadcast cap → 0) and pin both paths to the union-find
-    oracle so the strategy switch can never change the labels."""
+    """r7: tiny graphs solve on the driver (collected edges + numpy),
+    small graphs broadcast the per-round label table, and at scale the
+    co-partitioned shuffle-hash plan runs. Force each strategy on the
+    same fixture (caps → 0) and pin all three to the union-find oracle
+    so a strategy switch can never change the labels."""
     pairs = [
         (1, 2), (2, 3), (3, 4), (4, 5),
         (10, 11), (11, 12), (10, 12),
@@ -563,10 +564,12 @@ def test_dedup_clusters_shuffle_path_equals_broadcast_path(spark, monkeypatch):
     ]
     df = spark.createDataFrame(pairs, "a: long, b: long")
     want = _union_find(pairs)
+    local = {r.doc_id: r.cluster for r in D.dedup_clusters(df).collect()}
+    monkeypatch.setattr(D, "_COLLECT_EDGE_CAP", 0)
     small = {r.doc_id: r.cluster for r in D.dedup_clusters(df).collect()}
     monkeypatch.setattr(D, "_BROADCAST_EDGE_CAP", 0)
     big = {r.doc_id: r.cluster for r in D.dedup_clusters(df).collect()}
-    assert small == want and big == want
+    assert local == want and small == want and big == want
 
 
 def test_dedup_chain_end_to_end(spark):
@@ -634,12 +637,34 @@ def test_dedup_survivors_custom_id_col(spark):
     assert got == [1, 20, 99]
 
 
-def test_dedup_clusters_raises_on_nonconvergence(spark):
+def test_dedup_clusters_raises_on_nonconvergence(spark, monkeypatch):
+    # the guard is a distributed-loop property: force past the
+    # driver-local tier, which always reaches the fixed point
+    monkeypatch.setattr(D, "_COLLECT_EDGE_CAP", 0)
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a: long, b: long")
     import pytest
 
     with pytest.raises(RuntimeError, match="did not converge"):
         D.dedup_clusters(df, max_iters=1)
+
+
+def test_dedup_clusters_local_path_string_ids_and_null_fallback(spark, monkeypatch):
+    """The driver-local tier must (a) label string-id graphs by the
+    lexicographic min member — np.unique's sorted codes, not
+    first-appearance factorization — and (b) refuse NULL endpoints,
+    falling back to the distributed loop (same rows both ways)."""
+    pairs = [("d9", "d2"), ("d2", "d5"), ("zz", "aa")]
+    df = spark.createDataFrame(pairs, "a: string, b: string")
+    got = {r.doc_id: r.cluster for r in D.dedup_clusters(df).collect()}
+    assert got == {"d9": "d2", "d2": "d2", "d5": "d2", "zz": "aa", "aa": "aa"}
+
+    with_null = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 7)], "a: long, b: long"
+    )
+    local_rows = {tuple(r) for r in D.dedup_clusters(with_null).collect()}
+    monkeypatch.setattr(D, "_COLLECT_EDGE_CAP", 0)
+    loop_rows = {tuple(r) for r in D.dedup_clusters(with_null).collect()}
+    assert local_rows == loop_rows  # fallback ≡ loop, whatever the loop does
 
 
 def test_multimodal_image_header_parsed_for_real(spark):
