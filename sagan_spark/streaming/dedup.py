@@ -18,7 +18,16 @@ directory overwrite — pairs to ``<pairs_out>/batch=<id>``, signatures to
 ``batch < id`` partitions (partition-pruned), so a REPLAYED batch recomputes
 exactly what the original computed even though its own signatures may
 already be on disk. Order ids by arrival and the union of all batches'
-pairs equals the one-shot batch run's pair set (equality-tested).
+pairs equals the one-shot batch run's pair set (equality-tested) —
+**uncapped** (``max_bucket=None``), or for band buckets that stay under
+the cap at every batch prefix. With a cap the two INTENTIONALLY
+diverge: the cap tests combined bucket membership *as of each batch*
+(corpus-so-far + delta; the within-batch self-join counts the batch on
+both sides, so its effective member cap is half the cross-batch one),
+so pairs admitted before a bucket went hot STAY found — a later flood
+of boilerplate cannot retroactively un-find earlier duplicates —
+while a one-shot run over the final corpus drops the whole bucket.
+Pinned by test_stream_dedup_capped_keeps_pre_hot_pairs.
 
 The index root is fully batch-partitioned (an initial corpus bootstraps as
 ``batch=-1`` via init_dedup_stream_index), carries the same atomic params

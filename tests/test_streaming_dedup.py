@@ -154,3 +154,66 @@ def test_empty_bootstrap_grows(spark, splits, tmp_path):
     # pairs exist (within-batch only; cross side was empty)
     got = spark.read.parquet(pairs)
     assert got.where(F.col("a") >= F.col("b")).count() == 0
+
+
+def test_stream_dedup_capped_keeps_pre_hot_pairs(spark, tmp_path):
+    """Capped semantics (INTENTIONAL divergence from one-shot): the cap
+    tests combined bucket membership as of each batch, so pairs admitted
+    BEFORE a band bucket went hot stay found — a later boilerplate flood
+    cannot retroactively un-find earlier duplicates — while a one-shot
+    run with the same cap over the final corpus drops the whole bucket.
+    Never-hot buckets agree between the two."""
+    hot = "the same boilerplate sentence repeated across many documents"
+    cold = "an entirely different rare sentence shared by exactly two docs"
+    corpus_rows = [(1, hot), (2, hot), (10, cold)]
+    b0_rows = [(3, hot), (11, cold)]          # bucket sizes still under cap
+    b1_rows = [(4 + i, hot) for i in range(6)]  # floods the hot bucket
+    cap = 8
+
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    ck = str(tmp_path / "ck")
+    sdir = str(tmp_path / "in")
+    os.makedirs(sdir)
+    pd.DataFrame(b0_rows, columns=["doc_id", "text"]).to_parquet(
+        os.path.join(sdir, "docs-000.parquet"), index=False
+    )
+    pd.DataFrame(b1_rows, columns=["doc_id", "text"]).to_parquet(
+        os.path.join(sdir, "docs-001.parquet"), index=False
+    )
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id: long, text: string")
+    SD.init_dedup_stream_index(corpus, idx, num_hashes=8)
+    q = SD.run_dedup_stream(
+        spark, sdir, idx, pairs, ck,
+        num_hashes=8, max_bucket=cap, max_files_per_trigger=1, drain=True,
+    )
+    q.awaitTermination()
+    got = {
+        (min(r["a"], r["b"]), max(r["a"], r["b"]))
+        for r in spark.read.parquet(pairs).collect()
+    }
+
+    # batch 0 ran while the hot bucket held corpus 2 + delta 1 ≤ cap:
+    # doc 3's pairs against 1 and 2 were admitted and STAY; the cold pair
+    # (10, 11) is never hot. batch 1's flood exceeds the cap on both the
+    # cross join (3 corpus + 6 delta) and the halved within-batch join
+    # (6 + 6), so no batch-1 doc pairs with anything.
+    assert got == {(1, 3), (2, 3), (10, 11)}
+
+    # the same cap over the FINAL corpus one-shot drops the WHOLE hot
+    # bucket (9 members on each side of the self-join — even the original
+    # corpus-internal (1, 2)) but keeps the cold pair; the stream's
+    # divergence is exactly its pre-hot admissions.
+    all_docs = corpus.unionByName(
+        spark.createDataFrame(b0_rows + b1_rows, "doc_id: long, text: string")
+    )
+    sig = DI.build_dedup_index(all_docs, num_hashes=8)
+    one_shot = {
+        (r["a"], r["b"])
+        for r in DI.candidates_from_sigs(sig, sig, max_bucket=cap)
+        .where(F.col("a") < F.col("b"))
+        .collect()
+    }
+    assert one_shot == {(10, 11)}
+    assert got - one_shot == {(1, 3), (2, 3)}  # kept pre-hot admissions
